@@ -1,0 +1,56 @@
+import pytest
+
+from gluefactory_tpu.core.config import Config, from_dotlist, from_yaml, merge
+
+
+def test_basic_access():
+    c = Config({"a": 1, "b": {"c": [1, 2], "d": "x"}})
+    assert c.a == 1
+    assert c["b"].c == (1, 2)
+    assert c.b.d == "x"
+    assert c.select("b.d") == "x"
+    assert c.select("b.missing", 7) == 7
+
+
+def test_immutable_and_hashable():
+    c = Config({"a": {"b": 2}})
+    with pytest.raises(TypeError):
+        c.a = 3
+    assert hash(c) == hash(Config({"a": {"b": 2}}))
+    assert c == Config({"a": {"b": 2}})
+    assert c != Config({"a": {"b": 3}})
+
+
+def test_merge_overrides():
+    base = Config({"a": 1, "b": {"c": 2, "d": 3}})
+    out = merge(base, {"b": {"c": 9}})
+    assert out.b.c == 9 and out.b.d == 3 and out.a == 1
+
+
+def test_strict_merge_raises_on_unknown():
+    base = Config({"a": 1, "b": {"c": 2}})
+    with pytest.raises(KeyError):
+        merge(base, {"b": {"typo": 1}}, strict=True)
+    # empty dict default = open container
+    base2 = Config({"a": 1, "open": {}})
+    out = merge(base2, {"open": {"anything": 5}}, strict=True)
+    assert out.open.anything == 5
+
+
+def test_dotlist():
+    c = from_dotlist(["train.lr=1e-4", "model.name=two_view_pipeline", "flag=true"])
+    assert c.train.lr == 1e-4
+    assert c.model.name == "two_view_pipeline"
+    assert c.flag is True
+
+
+def test_yaml_roundtrip():
+    c = Config({"x": {"y": 1.5}, "z": [1, 2]})
+    c2 = from_yaml(c.to_yaml())
+    assert c == c2
+
+
+def test_set_dotted():
+    c = Config({"a": {"b": 1}})
+    c2 = c.set("a.b", 5).set("a.new", 7)
+    assert c2.a.b == 5 and c2.a.new == 7 and c.a.b == 1
