@@ -1,0 +1,223 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gluefactory_tpu.ops.assignment import (
+    filter_matches,
+    find_nn,
+    log_double_softmax,
+    log_optimal_transport,
+    mutual_check,
+    sigmoid_log_double_softmax,
+)
+from gluefactory_tpu.ops.attention import apply_rotary, bidirectional_attention, mha
+from gluefactory_tpu.ops.grid_sample import grid_sample_nd, sample_descriptors
+from gluefactory_tpu.ops.nms import (
+    remove_borders,
+    simple_nms,
+    soft_argmax_refinement,
+    top_k_keypoints,
+)
+
+
+def test_simple_nms_isolated_peaks():
+    scores = jnp.zeros((1, 32, 32))
+    scores = scores.at[0, 5, 5].set(1.0).at[0, 20, 20].set(0.8).at[0, 5, 7].set(0.5)
+    out = np.asarray(simple_nms(scores, radius=2))
+    assert out[0, 5, 5] == 1.0
+    assert out[0, 20, 20] == 0.8
+    assert out[0, 5, 7] == 0.0  # suppressed by nearby stronger peak
+
+
+def test_remove_borders():
+    scores = jnp.ones((1, 16, 16))
+    out = np.asarray(remove_borders(scores, 4))
+    assert out[0, 0, 0] == 0 and out[0, 8, 8] == 1 and out[0, 3, 8] == 0
+
+
+def test_top_k_keypoints():
+    scores = jnp.zeros((2, 16, 16))
+    scores = scores.at[0, 3, 4].set(0.9).at[0, 10, 2].set(0.5)
+    scores = scores.at[1, 7, 7].set(0.7)
+    kpts, vals, valid = top_k_keypoints(scores, k=4, threshold=0.1)
+    kpts, vals, valid = np.asarray(kpts), np.asarray(vals), np.asarray(valid)
+    assert valid[0].sum() == 2 and valid[1].sum() == 1
+    np.testing.assert_allclose(kpts[0, 0], [4.5, 3.5])  # x, y + 0.5
+    np.testing.assert_allclose(kpts[1, 0], [7.5, 7.5])
+
+
+def test_soft_argmax_refinement():
+    # a symmetric blob: refinement should stay at center
+    scores = jnp.zeros((1, 16, 16))
+    scores = scores.at[0, 8, 8].set(1.0)
+    for dy, dx in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+        scores = scores.at[0, 8 + dy, 8 + dx].set(0.5)
+    kpts = jnp.asarray([[[8.5, 8.5]]])
+    ref = np.asarray(soft_argmax_refinement(kpts, scores, radius=2))
+    np.testing.assert_allclose(ref[0, 0], [8.5, 8.5], atol=1e-5)
+    # asymmetric blob pulls the keypoint toward the heavier side
+    scores2 = scores.at[0, 8, 9].set(1.0)
+    ref2 = np.asarray(soft_argmax_refinement(kpts, scores2, radius=2))
+    assert ref2[0, 0, 0] > 8.5
+
+
+def test_grid_sample_matches_manual():
+    rng = np.random.default_rng(0)
+    fmap = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)
+    # at exact pixel centers, sampling returns the pixel value
+    pts = jnp.asarray([[[2.5, 3.5]]])
+    out = np.asarray(grid_sample_nd(fmap, pts))
+    np.testing.assert_allclose(out[0, 0], np.asarray(fmap)[0, 3, 2], atol=1e-6)
+    # halfway between two pixels = average
+    pts2 = jnp.asarray([[[3.0, 3.5]]])
+    out2 = np.asarray(grid_sample_nd(fmap, pts2))
+    np.testing.assert_allclose(
+        out2[0, 0], 0.5 * (np.asarray(fmap)[0, 3, 2] + np.asarray(fmap)[0, 3, 3]), atol=1e-6
+    )
+
+
+def test_sample_descriptors_normalized():
+    rng = np.random.default_rng(1)
+    dmap = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)
+    kpts = jnp.asarray(rng.uniform(0, 128, size=(2, 10, 2)), jnp.float32)
+    desc = np.asarray(sample_descriptors(kpts, dmap, stride=8))
+    np.testing.assert_allclose(np.linalg.norm(desc, axis=-1), 1.0, atol=1e-4)
+
+
+def test_sigmoid_log_double_softmax_properties():
+    rng = np.random.default_rng(2)
+    sim = jnp.asarray(rng.normal(size=(1, 6, 8)), jnp.float32)
+    z0 = jnp.asarray(rng.normal(size=(1, 6)), jnp.float32)
+    z1 = jnp.asarray(rng.normal(size=(1, 8)), jnp.float32)
+    scores = np.asarray(sigmoid_log_double_softmax(sim, z0, z1))
+    assert scores.shape == (1, 7, 9)
+    assert (scores <= 1e-6).all()
+    # unmatched prob of point i = sigmoid(-z0_i)
+    np.testing.assert_allclose(
+        np.exp(scores[0, :6, 8]), 1.0 / (1.0 + np.exp(np.asarray(z0)[0])), atol=1e-5
+    )
+
+
+def test_sigmoid_log_double_softmax_mask_inert():
+    """Padding keypoints must not affect the scores of real ones."""
+    rng = np.random.default_rng(3)
+    sim_full = jnp.asarray(rng.normal(size=(1, 8, 8)), jnp.float32)
+    z0 = jnp.asarray(rng.normal(size=(1, 8)), jnp.float32)
+    z1 = jnp.asarray(rng.normal(size=(1, 8)), jnp.float32)
+    mask = jnp.asarray([[True] * 5 + [False] * 3])
+    s_masked = np.asarray(sigmoid_log_double_softmax(sim_full, z0, z1, mask, mask))
+    s_small = np.asarray(
+        sigmoid_log_double_softmax(sim_full[:, :5, :5], z0[:, :5], z1[:, :5])
+    )
+    np.testing.assert_allclose(s_masked[0, :5, :5], s_small[0, :5, :5], atol=1e-5)
+
+
+def test_log_optimal_transport_marginals():
+    rng = np.random.default_rng(4)
+    scores = jnp.asarray(rng.normal(size=(1, 5, 7)), jnp.float32)
+    Z = log_optimal_transport(scores, bin_score=0.5, iters=50)
+    P = np.exp(np.asarray(Z))[0]
+    assert P.shape == (6, 8)
+    # after the final de-normalization (reference superglue.py:213 Z - norm),
+    # every real row and column has total mass 1
+    np.testing.assert_allclose(P[:5].sum(axis=1), 1.0, atol=1e-3)
+    np.testing.assert_allclose(P[:, :7].sum(axis=0), 1.0, atol=1e-3)
+
+
+def test_log_optimal_transport_mask_inert():
+    rng = np.random.default_rng(5)
+    sim = jnp.asarray(rng.normal(size=(1, 6, 6)), jnp.float32)
+    mask = jnp.asarray([[True] * 4 + [False] * 2])
+    Z_masked = np.asarray(log_optimal_transport(sim, 0.3, 60, mask, mask))
+    Z_small = np.asarray(log_optimal_transport(sim[:, :4, :4], 0.3, 60))
+    np.testing.assert_allclose(Z_masked[0, :4, :4], Z_small[0, :4, :4], atol=1e-3)
+
+
+def test_filter_matches_mutual():
+    # construct a log-assignment with an obvious diagonal
+    M = N = 4
+    inner = jnp.full((1, M, N), -10.0)
+    inner = inner.at[0, jnp.arange(3), jnp.arange(3)].set(-0.01)
+    scores = jnp.full((1, M + 1, N + 1), -10.0).at[:, :M, :N].set(inner)
+    m0, m1, s0, s1 = filter_matches(scores, th=0.5)
+    np.testing.assert_array_equal(np.asarray(m0)[0], [0, 1, 2, -1])
+    np.testing.assert_array_equal(np.asarray(m1)[0], [0, 1, 2, -1])
+    assert (np.asarray(s0)[0, :3] > 0.9).all()
+
+
+def test_find_nn_and_mutual_check():
+    desc0 = jnp.asarray([[[1.0, 0.0], [0.0, 1.0]]])
+    desc1 = jnp.asarray([[[0.0, 1.0], [1.0, 0.0], [0.7, 0.7]]])
+    sim = jnp.einsum("bnd,bmd->bnm", desc0, desc1)
+    m, s = find_nn(sim)
+    np.testing.assert_array_equal(np.asarray(m)[0], [1, 0])
+    m1, _ = find_nn(jnp.swapaxes(sim, 1, 2))
+    mm = mutual_check(m, m1)
+    np.testing.assert_array_equal(np.asarray(mm)[0], [1, 0])
+
+
+def naive_mha(q, k, v):
+    d = q.shape[-1]
+    logits = np.einsum("bhmd,bhnd->bhmn", q, k) / np.sqrt(d)
+    a = np.exp(logits - logits.max(-1, keepdims=True))
+    a = a / a.sum(-1, keepdims=True)
+    return np.einsum("bhmn,bhnd->bhmd", a, v)
+
+
+def test_mha_matches_naive():
+    rng = np.random.default_rng(6)
+    q = rng.normal(size=(2, 4, 8, 16)).astype(np.float32)
+    k = rng.normal(size=(2, 4, 10, 16)).astype(np.float32)
+    v = rng.normal(size=(2, 4, 10, 16)).astype(np.float32)
+    out = np.asarray(mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(out, naive_mha(q, k, v), atol=1e-4)
+
+
+def test_mha_mask_inert():
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(1, 2, 6, 8)).astype(np.float32)
+    k = rng.normal(size=(1, 2, 6, 8)).astype(np.float32)
+    v = rng.normal(size=(1, 2, 6, 8)).astype(np.float32)
+    mask = np.array([[True] * 4 + [False] * 2])
+    out_m = np.asarray(
+        mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask), jnp.asarray(mask))
+    )
+    out_s = naive_mha(q[:, :, :4], k[:, :, :4], v[:, :, :4])
+    np.testing.assert_allclose(out_m[:, :, :4], out_s, atol=1e-4)
+    assert np.abs(out_m[:, :, 4:]).max() == 0.0
+
+
+def test_bidirectional_attention_consistency():
+    rng = np.random.default_rng(8)
+    qk0 = jnp.asarray(rng.normal(size=(1, 2, 5, 8)), jnp.float32)
+    qk1 = jnp.asarray(rng.normal(size=(1, 2, 7, 8)), jnp.float32)
+    v0 = jnp.asarray(rng.normal(size=(1, 2, 5, 8)), jnp.float32)
+    v1 = jnp.asarray(rng.normal(size=(1, 2, 7, 8)), jnp.float32)
+    m0, m1 = bidirectional_attention(qk0, qk1, v0, v1)
+    ref0 = np.asarray(mha(qk0, qk1, v1))
+    ref1 = np.asarray(mha(qk1, qk0, v0))
+    np.testing.assert_allclose(np.asarray(m0), ref0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m1), ref1, atol=1e-4)
+
+
+def test_apply_rotary_preserves_norm():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 10, 16)), jnp.float32)
+    theta = jnp.asarray(rng.normal(size=(1, 10, 8)), jnp.float32)
+    out = apply_rotary(x, jnp.cos(theta), jnp.sin(theta))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1),
+        atol=1e-4,
+    )
+    # rotary of zero angle is identity
+    out2 = apply_rotary(x, jnp.ones_like(theta), jnp.zeros_like(theta))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x), atol=1e-6)
+
+
+def test_log_double_softmax_shape():
+    rng = np.random.default_rng(10)
+    sim = jnp.asarray(rng.normal(size=(1, 4, 5)), jnp.float32)
+    out = np.asarray(log_double_softmax(sim, 1.0))
+    assert out.shape == (1, 5, 6)
+    assert (out[:, :4, :5] <= 0).all()
