@@ -1,0 +1,142 @@
+"""SuperPoint keypoint detector + descriptor, TPU-native.
+
+Covers both reference variants through `conf.variant`:
+  - "vanilla": the official MagicLeap architecture (VGG encoder without BN,
+    65-channel detector softmax + 8x8 pixel shuffle, 256-d descriptors) —
+    reference `gluefactory_nonfree/superpoint.py:52-356`; weights convertible
+    from `superpoint_v1.pth` via `compat/torch_superpoint.py`.
+  - "open": the MIT re-training (rpautrat), VGG blocks with BatchNorm —
+    reference `models/extractors/superpoint_open.py:78-216`.
+
+TPU-first deviations from the reference:
+  - NHWC layout throughout (XLA's native conv layout on TPU).
+  - Static shapes: always returns exactly `max_num_keypoints` keypoints with a
+    boolean `keypoint_mask`; `force_num_keypoints` fills invalid slots with
+    random in-image points (reference `superpoint.py:304-317`) so that they
+    participate as real (low-score) keypoints during training.
+  - Keypoints use the COLMAP corner convention (+0.5 offsets), matching
+    `superpoint.py:342`.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.grid_sample import sample_descriptors
+from ...ops.nms import remove_borders, simple_nms, top_k_keypoints
+from ..base_model import BaseModel
+
+
+def rgb_to_grayscale(image: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W, 1), luminance weights."""
+    if image.shape[-1] == 1:
+        return image
+    w = jnp.asarray([0.299, 0.587, 0.114], dtype=image.dtype)
+    return (image * w).sum(axis=-1, keepdims=True)
+
+
+class VGGBlock(nn.Module):
+    out_channels: int
+    kernel: int = 3
+    relu: bool = True
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out_channels, (self.kernel, self.kernel), padding="SAME")(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5, momentum=0.9)(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class SuperPoint(BaseModel):
+    default_conf = {
+        "variant": "vanilla",  # "vanilla" (no BN) | "open" (BN)
+        "descriptor_dim": 256,
+        "nms_radius": 4,
+        "max_num_keypoints": 1024,  # static K (TPU requires fixed shapes)
+        "force_num_keypoints": False,  # fill invalid slots with random kpts
+        "detection_threshold": 0.005,
+        "remove_borders": 4,
+        "dense_outputs": False,
+        "channels": [64, 64, 128, 128],
+        "head_channels": 256,
+    }
+    required_data_keys = ["image"]
+
+    def setup(self):
+        c = self.conf
+        use_bn = c.variant == "open"
+        chans = list(c.channels)
+        backbone = []
+        for i, ch in enumerate(chans):
+            backbone.append(VGGBlock(ch, use_bn=use_bn, name=f"conv{i+1}a"))
+            backbone.append(VGGBlock(ch, use_bn=use_bn, name=f"conv{i+1}b"))
+        self.backbone = backbone
+        self.convPa = VGGBlock(c.head_channels, use_bn=use_bn, name="convPa")
+        self.convPb = VGGBlock(65, kernel=1, relu=False, use_bn=False, name="convPb")
+        self.convDa = VGGBlock(c.head_channels, use_bn=use_bn, name="convDa")
+        self.convDb = VGGBlock(c.descriptor_dim, kernel=1, relu=False, use_bn=False, name="convDb")
+
+    def _forward(self, data: dict, train: bool = False) -> dict:
+        c = self.conf
+        bn_train = train and not c.freeze_batch_normalization
+        image = rgb_to_grayscale(data["image"])
+        x = image
+        n_blocks = len(c.channels)
+        for i in range(n_blocks):
+            x = self.backbone[2 * i](x, train=bn_train)
+            x = self.backbone[2 * i + 1](x, train=bn_train)
+            if i < n_blocks - 1:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # detector head: 65-ch softmax, drop dustbin, 8x8 pixel shuffle
+        cPa = self.convPa(x, train=bn_train)
+        logits = self.convPb(cPa)  # (B, Hc, Wc, 65)
+        scores = jax.nn.softmax(logits, axis=-1)[..., :64]
+        B, Hc, Wc, _ = scores.shape
+        scores = scores.reshape(B, Hc, Wc, 8, 8)
+        scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
+
+        # descriptor head: dense 256-d, L2-normalized
+        cDa = self.convDa(x, train=bn_train)
+        dense_desc = self.convDb(cDa)  # (B, Hc, Wc, D)
+        dense_desc = dense_desc / (
+            jnp.linalg.norm(dense_desc, axis=-1, keepdims=True) + 1e-8
+        )
+
+        # keypoint selection: NMS -> border removal -> static top-k + mask
+        nmsed = simple_nms(scores, c.nms_radius)
+        nmsed = remove_borders(nmsed, c.remove_borders)
+        k = int(c.max_num_keypoints)
+        kpts, kpt_scores, valid = top_k_keypoints(nmsed, k, c.detection_threshold)
+
+        if c.force_num_keypoints:
+            rng = self.make_rng("sample")
+            size = data.get("image_size")
+            if size is None:
+                h, w = image.shape[1:3]
+                size = jnp.tile(jnp.asarray([[w, h]], jnp.float32), (B, 1))
+            u = jax.random.uniform(rng, (B, k, 2), dtype=kpts.dtype)
+            rand_kpts = u * size[:, None, :]
+            kpts = jnp.where(valid[..., None], kpts, rand_kpts)
+            kpt_scores = jnp.where(valid, kpt_scores, 0.0)
+            valid = jnp.ones_like(valid)
+
+        desc = sample_descriptors(kpts, dense_desc, stride=8)
+        pred = {
+            "keypoints": kpts,
+            "keypoint_scores": kpt_scores,
+            "keypoint_mask": valid,
+            "descriptors": desc,
+        }
+        if c.dense_outputs:
+            pred["dense_descriptors"] = dense_desc
+            pred["dense_score_map"] = scores
+        return pred
+
+    def loss(self, pred, data):
+        raise NotImplementedError("SuperPoint is used frozen; training it is out of scope")

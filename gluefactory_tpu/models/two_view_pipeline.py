@@ -1,0 +1,97 @@
+"""Two-view pipeline: compose extractor -> matcher -> filter -> solver -> GT.
+
+Role of reference `models/two_view_pipeline.py:21-114`. A pipeline is itself a
+BaseModel whose sub-models are linen submodules; the whole forward (and the
+loss, including on-device GT generation) is one pure jittable function —
+TPU-native contrast to the reference's eager composition.
+
+Conventions: per-view inputs under `data["view0"/"view1"]`; extractor outputs
+are suffixed `0`/`1` into the flat pred dict; cached features short-circuit
+extraction when `allow_no_extract` (reference `two_view_pipeline.py:62-70`).
+"""
+
+from __future__ import annotations
+
+from ..core.config import Config
+from . import get_model
+from .base_model import BaseModel
+
+
+def has_cache(view_data: dict) -> bool:
+    return "cache" in view_data
+
+
+class TwoViewPipeline(BaseModel):
+    default_conf = {
+        "extractor": {"name": None},
+        "matcher": {"name": None},
+        "filter": {"name": None},
+        "solver": {"name": None},
+        "ground_truth": {"name": None},
+        "allow_no_extract": False,
+        "run_gt_in_forward": False,
+    }
+    required_data_keys = ["view0", "view1"]
+    components = ["extractor", "matcher", "filter", "solver", "ground_truth"]
+    strict_conf = False
+
+    def setup(self):
+        for comp in self.components:
+            comp_conf = self.conf.get(comp, Config({"name": None}))
+            if comp_conf.get("name"):
+                cls = get_model(comp_conf.name)
+                sub_conf = {k: v for k, v in comp_conf.to_dict().items() if k != "name"}
+                setattr(self, f"{comp}_model", cls.from_conf(sub_conf))
+            else:
+                setattr(self, f"{comp}_model", None)
+
+    def component(self, name: str):
+        return getattr(self, f"{name}_model")
+
+    def extract_view(self, data: dict, i: str, train: bool = False) -> dict:
+        data_i = data[f"view{i}"]
+        pred_i = dict(data_i.get("cache", {}))
+        skip_extract = len(pred_i) > 0 and self.conf.allow_no_extract
+        extractor = self.component("extractor")
+        if extractor is not None and not skip_extract:
+            pred_i = {**extractor({**data_i, **pred_i}, train=train), **pred_i}
+        return pred_i
+
+    def _forward(self, data: dict, train: bool = False) -> dict:
+        pred0 = self.extract_view(data, "0", train=train)
+        pred1 = self.extract_view(data, "1", train=train)
+        pred = {
+            **{k + "0": v for k, v in pred0.items()},
+            **{k + "1": v for k, v in pred1.items()},
+        }
+        for comp in ("matcher", "filter", "solver"):
+            model = self.component(comp)
+            if model is not None:
+                pred = {**pred, **model({**data, **pred}, train=train)}
+        if self.conf.run_gt_in_forward and self.component("ground_truth") is not None:
+            gt_pred = self.component("ground_truth")({**data, **pred}, train=train)
+            pred = {**pred, **gt_pred}
+        return pred
+
+    def loss(self, pred: dict, data: dict, train: bool = True):
+        losses = {}
+        metrics = {}
+        total = 0
+        # lazily run GT generation if it did not run in forward
+        # (reference two_view_pipeline.py:92-101)
+        if not self.conf.run_gt_in_forward and self.component("ground_truth") is not None:
+            gt_pred = self.component("ground_truth")({**data, **pred}, train=train)
+            pred = {**pred, **gt_pred}
+        for comp in ("extractor", "matcher", "filter", "solver"):
+            model = self.component(comp)
+            if model is None or not model.is_trainable:
+                continue
+            try:
+                losses_c, metrics_c = model.loss(pred, {**pred, **data})
+            except NotImplementedError:
+                continue
+            losses.update({f"{comp}_{k}" if k != "total" else k: v for k, v in losses_c.items() if k != "total"})
+            metrics.update(metrics_c)
+            total = losses_c["total"] + total
+        losses["total"] = total
+        return losses, metrics
