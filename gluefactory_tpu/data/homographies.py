@@ -1,0 +1,202 @@
+"""Synthetic homography-pair dataset for pretraining.
+
+Role of reference `datasets/homographies.py:47-312`: per item, read an image,
+sample two random homographies, warp two patches with cv2, apply photometric
+augmentation per view, and return the exact patch-to-patch homography
+`H_0to1`. Per-index RNG forking gives reproducible epochs.
+
+Differences from the reference:
+  - no auto-download (zero-egress environment): point `image_dir` at any
+    folder of images (revisitop1m layout works);
+  - `synthetic_images > 0` generates procedural images (seeded per index) so
+    training/tests run hermetically without any dataset on disk.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from ..settings import DATA_PATH
+from .augmentations import augmentations
+from .base_dataset import BaseDataset
+from ..geometry.homography import compute_homography_np, sample_homography_corners
+
+
+def generate_synthetic_image(seed: int, size=(640, 480)) -> np.ndarray:
+    """Procedural textured image: random affine checkers + blobs + gradients."""
+    rng = np.random.default_rng(seed)
+    w, h = size
+    img = np.zeros((h, w, 3), np.float32)
+    # background gradient
+    gx = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
+    gy = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
+    base = rng.uniform(0.1, 0.6, 3).astype(np.float32)
+    img += base + 0.3 * gx * rng.uniform(-1, 1, 3) + 0.3 * gy * rng.uniform(-1, 1, 3)
+    # random polygons / rectangles / circles
+    for _ in range(40):
+        color = rng.uniform(0, 1, 3).astype(float)
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            pt1 = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+            pt2 = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+            cv2.rectangle(img, pt1, pt2, color, -1)
+        elif kind == 1:
+            center = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+            cv2.circle(img, center, int(rng.integers(5, 60)), color, -1)
+        else:
+            pts = rng.integers(0, [w, h], size=(3, 2)).astype(np.int32)
+            cv2.fillPoly(img, [pts], color)
+    # light noise so descriptors aren't degenerate
+    img += rng.normal(0, 0.02, img.shape).astype(np.float32)
+    return np.clip(img, 0, 1)
+
+
+def warp_patch(img: np.ndarray, H: np.ndarray, patch_shape) -> np.ndarray:
+    pw, ph = patch_shape
+    out = cv2.warpPerspective(img, H, (int(pw), int(ph)), flags=cv2.INTER_LINEAR)
+    if out.ndim == 2:
+        out = out[..., None]
+    return out
+
+
+class _HomographyTorchDataset:
+    def __init__(self, parent: "HomographyDataset", split: str):
+        self.parent = parent
+        self.conf = parent.conf
+        self.split = split
+        self.image_names = parent.images[split]
+
+    def __len__(self):
+        return len(self.image_names)
+
+    def _read_image(self, idx: int) -> np.ndarray:
+        name = self.image_names[idx]
+        if isinstance(name, int):  # synthetic
+            return generate_synthetic_image(
+                name, tuple(self.conf.source_size)
+            )
+        from .preprocess import read_image
+
+        try:
+            img = read_image(name, grayscale=False)
+        except IOError:
+            # unreadable image -> zero fallback (reference homographies.py:238-240)
+            img = np.zeros((self.conf.source_size[1], self.conf.source_size[0], 3), np.float32)
+        # upscale tiny images to the working size
+        h, w = img.shape[:2]
+        sw, sh = self.conf.source_size
+        if w < sw or h < sh:
+            scale = max(sw / w, sh / h)
+            img = cv2.resize(img, (int(np.ceil(w * scale)), int(np.ceil(h * scale))))
+        return img
+
+    def _sample_view(self, img: np.ndarray, rng: np.random.Generator, aug) -> dict:
+        hconf = self.conf.homography
+        h, w = img.shape[:2]
+        patch_shape = tuple(hconf.patch_shape)
+        H, _, _, _ = sample_homography_corners(
+            (w, h),
+            patch_shape,
+            difficulty=hconf.difficulty,
+            translation=hconf.translation,
+            n_angles=hconf.n_angles,
+            max_angle=hconf.max_angle,
+            min_convexity=hconf.min_convexity,
+            rng=rng,
+        )
+        patch = warp_patch(img, H, patch_shape)
+        patch = aug(patch, rng)
+        if self.conf.grayscale:
+            patch = cv2.cvtColor(patch, cv2.COLOR_RGB2GRAY)[..., None]
+        return {
+            "image": patch.astype(np.float32),
+            "image_size": np.array(patch_shape, dtype=np.float32),
+            "H_": H.astype(np.float32),
+            "coords": np.array(patch_shape, np.float32),
+        }
+
+    def __getitem__(self, idx: int) -> dict:
+        conf = self.conf
+        if conf.reseed:
+            rng = np.random.default_rng((conf.seed, self.parent.epoch, idx))
+        else:
+            rng = np.random.default_rng()
+        img = self._read_image(idx)
+        aug = self.parent.photo_augment
+        n_views = 3 if conf.triplet else 2
+        views = [self._sample_view(img, rng, aug) for _ in range(n_views)]
+        data = {}
+        for i, v in enumerate(views):
+            data[f"view{i}"] = {
+                "image": v["image"],
+                "image_size": v["image_size"],
+            }
+        # exact patch-to-patch homography: H_0to1 = H1 @ H0^-1
+        H0, H1 = views[0]["H_"], views[1]["H_"]
+        data["H_0to1"] = (H1 @ np.linalg.inv(H0)).astype(np.float32)
+        if conf.triplet:
+            H2 = views[2]["H_"]
+            data["H_0to2"] = (H2 @ np.linalg.inv(H0)).astype(np.float32)
+            data["H_1to2"] = (H2 @ np.linalg.inv(H1)).astype(np.float32)
+        data["idx"] = idx
+        data["name"] = str(self.image_names[idx])
+        return data
+
+
+class HomographyDataset(BaseDataset):
+    default_conf = {
+        "data_dir": "revisitop1m",
+        "image_dir": None,  # explicit folder of images
+        "glob": ["*.jpg", "*.png", "*.jpeg"],
+        "synthetic_images": 0,  # >0: hermetic procedural image pool
+        "source_size": [640, 480],
+        "train_size": 100,
+        "val_size": 10,
+        "shuffle_seed": 0,
+        "grayscale": False,
+        "triplet": False,
+        "reseed": True,
+        "seed": 0,
+        "homography": {
+            "difficulty": 0.8,
+            "translation": 1.0,
+            "max_angle": 60,
+            "n_angles": 10,
+            "patch_shape": [640, 480],
+            "min_convexity": 0.05,
+        },
+        "photometric": {"name": "lg", "p": 0.95},
+    }
+
+    def _init(self, conf):
+        if conf.synthetic_images > 0:
+            names = list(range(conf.synthetic_images))
+        else:
+            image_dir = Path(conf.image_dir) if conf.image_dir else DATA_PATH / conf.data_dir / "jpg"
+            if not image_dir.exists():
+                raise FileNotFoundError(
+                    f"image dir {image_dir} not found; set data.image_dir or use "
+                    "data.synthetic_images for a procedural pool"
+                )
+            names = []
+            for pattern in conf.glob:
+                names += sorted(image_dir.rglob(pattern))
+        rng = np.random.default_rng(conf.shuffle_seed)
+        perm = rng.permutation(len(names))
+        names = [names[i] for i in perm]
+        train_size = min(conf.train_size, max(len(names) - conf.val_size, 1))
+        val_size = min(conf.val_size, len(names))
+        self.images = {
+            "train": names[:train_size],
+            "val": names[-val_size:],
+            "test": names[-val_size:],
+        }
+        aug_name = conf.photometric.name
+        self.photo_augment = augmentations[aug_name]({"p": conf.photometric.p})
+        self.epoch = 0
+
+    def get_dataset(self, split: str):
+        return _HomographyTorchDataset(self, split)
