@@ -81,6 +81,13 @@ class BaseModel(nn.Module):
     def _forward(self, data: dict, **kwargs) -> dict:
         raise NotImplementedError
 
+    def forward_with_loss(self, data: dict, train: bool = True):
+        """Single-apply forward + loss (the training step's entry point —
+        one `model.apply` keeps forward and loss in the same jit graph)."""
+        pred = self(data, train=train)
+        losses, metrics = self.loss(pred, data)
+        return pred, losses, metrics
+
     def initialize(self, data: dict) -> dict:
         """Init entry point: exercises forward AND loss so that parameters
         used only in the loss path (e.g. LightGlue's intermediate assignment

@@ -1,0 +1,532 @@
+"""Training engine: pjit data-parallel training over a TPU mesh.
+
+Role of reference `train.py:220-659`, redesigned TPU-native:
+  - the whole step (forward + on-device GT generation + loss + grad +
+    optimizer update + NaN-skip) is ONE jitted function over a
+    `jax.sharding.Mesh`; the batch is sharded over the "data" axis and XLA
+    inserts the gradient all-reduce over ICI (replaces DDP/NCCL,
+    reference `train.py:276-339, 483-530`);
+  - non-finite-loss skipping is a functional `jnp.where` on the update
+    (replaces the all-reduced `do_backward` flag, `train.py:477-488`);
+  - frozen components ("trainable: False") are masked out of the optimizer
+    with `optax.multi_transform` (replaces requires_grad mutation);
+  - mixed precision: params cast to bf16 for the forward pass, fp32 master
+    weights and loss (replaces AMP autocast + GradScaler — bf16 on TPU needs
+    no loss scaling, `train.py:362-374`);
+  - checkpointing: best/last/keep-N msgpack (see `utils/experiments.py`);
+  - metrics: streaming accumulators + tensorboard scalars.
+
+CLI: `python -m gluefactory_tpu.train experiment_name --conf conf.yaml
+      [dotlist overrides] [--overfit] [--restore] [--distributed]`
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import signal
+import time
+from collections import defaultdict
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import logger
+from .core.config import Config, from_dotlist, from_yaml, merge
+from .data import get_dataset
+from .data.base_dataset import prepare_batch
+from .models import get_model
+from .settings import TRAINING_PATH
+from .utils.experiments import (
+    delete_old_checkpoints,
+    get_last_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+    update_best_checkpoint,
+)
+from .utils.tools import AverageMetric, MedianMetric, RecallMetric, set_seed
+from .utils.tensor import map_tensor
+
+default_train_conf = {
+    "seed": 0,
+    "epochs": 1,
+    "optimizer": "adam",  # adam | adamw | sgd | rmsprop
+    "optimizer_options": {},
+    "opt_regexp": None,  # regexp: only matching params are trained
+    "lr": 0.001,
+    "lr_schedule": {"type": None, "start": 0, "exp_div_10": 0, "factor": 1.0, "on_epoch": []},
+    "lr_scaling": [],  # [[scale, [regex, ...]], ...]
+    "eval_every_iter": 1000,
+    "save_every_iter": 5000,
+    "log_every_iter": 200,
+    "keep_last_checkpoints": 5,
+    "load_experiment": None,  # warm start from another experiment
+    "median_metrics": [],
+    "recall_metrics": {},
+    "best_key": "loss/total",
+    "dataset_callback_fn": None,  # e.g. "sample_new_items" (MegaDepth)
+    "dataset_callback_on_val": False,
+    "clip_grad": None,
+    "mixed_precision": None,  # None | "bf16"
+    "log_it": False,
+}
+
+default_conf = {"data": {}, "model": {}, "train": default_train_conf}
+
+
+# ---------------------------------------------------------------------------
+# optimizer construction
+# ---------------------------------------------------------------------------
+
+
+def param_path_strings(params) -> dict:
+    """Map each leaf path to a '/'-joined string tree of the same structure."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    labels = [
+        "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        for path, _ in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, labels)
+
+
+def get_frozen_components(model) -> set:
+    """Submodule names of pipeline components with trainable: False."""
+    frozen = set()
+    for comp in getattr(model, "components", []):
+        comp_conf = model.conf.get(comp)
+        if comp_conf and comp_conf.get("name") and not comp_conf.get("trainable", True):
+            frozen.add(f"{comp}_model")
+    return frozen
+
+
+def build_lr_schedule(conf, steps_per_epoch: int):
+    """Epoch-based schedules matching reference `get_lr_scheduler`
+    (`train.py:144-174`): exp decay of 10x per `exp_div_10` epochs starting at
+    `start`, or discrete `factor` multiplications at epochs in `on_epoch`."""
+    sconf = conf.lr_schedule
+    base = conf.lr
+
+    def schedule(step):
+        epoch = step / max(steps_per_epoch, 1)
+        lr = jnp.asarray(base, jnp.float32)
+        if sconf.type == "exp":
+            gam = 10.0 ** (-1.0 / max(sconf.exp_div_10, 1e-9))
+            e = jnp.maximum(epoch - sconf.start, 0.0)
+            lr = lr * gam**e
+        elif sconf.type == "factor":
+            on = jnp.asarray(list(sconf.on_epoch or []), jnp.float32)
+            if on.size:
+                n = (epoch[None] >= on).sum() if jnp.ndim(epoch) else (epoch >= on).sum()
+                lr = lr * sconf.factor ** n
+        elif sconf.type == "cosine":
+            total = conf.epochs * steps_per_epoch
+            lr = lr * 0.5 * (1 + jnp.cos(jnp.pi * jnp.minimum(step / max(total, 1), 1.0)))
+        return lr
+
+    return schedule
+
+
+def build_optimizer(conf, params, model, steps_per_epoch: int):
+    schedule = build_lr_schedule(conf, steps_per_epoch)
+    opts = dict(conf.optimizer_options or {})
+    if conf.optimizer == "adam":
+        opt = optax.adam(schedule, **opts)
+    elif conf.optimizer == "adamw":
+        opt = optax.adamw(schedule, **opts)
+    elif conf.optimizer == "sgd":
+        opt = optax.sgd(schedule, **opts)
+    elif conf.optimizer == "rmsprop":
+        opt = optax.rmsprop(schedule, **opts)
+    else:
+        raise ValueError(f"unknown optimizer {conf.optimizer}")
+    chain = []
+    if conf.clip_grad is not None:
+        chain.append(optax.clip_by_global_norm(conf.clip_grad))
+    chain.append(opt)
+    tx = optax.chain(*chain)
+
+    # freeze non-trainable components + opt_regexp filtering
+    frozen = get_frozen_components(model)
+    regexp = re.compile(conf.opt_regexp) if conf.opt_regexp else None
+    paths = param_path_strings(params)
+
+    def label(path: str):
+        top = path.split("/")[0]
+        if top in frozen:
+            return "freeze"
+        if regexp is not None and not regexp.search(path):
+            return "freeze"
+        return "train"
+
+    labels = jax.tree.map(label, paths)
+    tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    n_train = sum(jax.tree.leaves(jax.tree.map(lambda s: s == "train", labels)))
+    n_total = len(jax.tree.leaves(labels))
+    logger.info("Optimizer: %d/%d parameter tensors trainable", n_train, n_total)
+    return tx, schedule
+
+
+# ---------------------------------------------------------------------------
+# batch device placement
+# ---------------------------------------------------------------------------
+
+
+def strip_non_arrays(batch):
+    """Remove string/object leaves that can't go to device."""
+    if isinstance(batch, dict):
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, dict):
+                out[k] = strip_non_arrays(v)
+            elif isinstance(v, (str, bytes)) or (isinstance(v, list) and v and isinstance(v[0], str)):
+                continue
+            else:
+                out[k] = v
+        return out
+    return batch
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put every array leaf sharded over the mesh's data axis."""
+    data_sharding = NamedSharding(mesh, P("data"))
+    scalar_sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x) if not isinstance(x, jnp.ndarray) else x
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.size == 0:
+            return jax.device_put(x, data_sharding)
+        return jax.device_put(x, scalar_sharding)
+
+    return map_tensor(batch, put)
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+
+class SigIntHandler:
+    """Graceful stop on SIGINT (reference `train.py:322-330`)."""
+
+    def __init__(self):
+        self.stop = False
+        self._prev = None
+
+    def __enter__(self):
+        def handler(sig, frame):
+            if self.stop:
+                raise KeyboardInterrupt
+            logger.info("SIGINT: will stop after this iteration (again to kill).")
+            self.stop = True
+
+        self._prev = signal.signal(signal.SIGINT, handler)
+        return self
+
+    def __exit__(self, *a):
+        signal.signal(signal.SIGINT, self._prev)
+
+
+def make_train_step(model, tx, mixed_precision=None):
+    def train_step(variables, opt_state, batch, rng):
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(p):
+            p_fwd = p
+            if mixed_precision == "bf16":
+                p_fwd = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
+                    else x,
+                    p,
+                )
+            outs, updates = model.apply(
+                {"params": p_fwd, **extra},
+                batch,
+                method="forward_with_loss",
+                mutable=["batch_stats"],
+                rngs={"sample": rng},
+            )
+            pred, losses, metrics = outs
+            return losses["total"].mean(), (losses, metrics, updates)
+
+        (loss, (losses, metrics, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        ok = jnp.isfinite(loss)
+        safe_grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g).all(), g, 0.0), grads)
+        updates_opt, new_opt_state = tx.update(safe_grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates_opt)
+        # skip the whole update on non-finite loss (reference train.py:477-488)
+        new_params = jax.tree.map(lambda a, b: jnp.where(ok, a, b), new_params, params)
+        new_opt_state = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b) if isinstance(a, jnp.ndarray) else a,
+            new_opt_state,
+            opt_state,
+        )
+        new_variables = {"params": new_params, **updates}
+        if "batch_stats" in variables and "batch_stats" not in new_variables:
+            new_variables["batch_stats"] = variables["batch_stats"]
+        losses = {k: v.mean() for k, v in losses.items()}
+        metrics = {k: v.mean() for k, v in metrics.items()}
+        gnorm = optax.global_norm(grads)
+        return new_variables, new_opt_state, losses, metrics, {"grad_norm": gnorm, "ok": ok}
+
+    return train_step
+
+
+def make_eval_step(model):
+    def eval_step(variables, batch, rng):
+        outs, _ = model.apply(
+            variables,
+            batch,
+            method="forward_with_loss",
+            mutable=["batch_stats"],
+            rngs={"sample": rng},
+        )
+        pred, losses, metrics = outs
+        return losses, metrics
+
+    return eval_step
+
+
+def do_evaluation(eval_step_fn, variables, loader, conf, mesh, rng, max_iters=None):
+    """Validation loop with streaming accumulators (reference `train.py:78-122`)."""
+    results = defaultdict(list)
+    accums = {}
+    for i, batch in enumerate(loader):
+        if max_iters is not None and i >= max_iters:
+            break
+        batch = shard_batch(strip_non_arrays(prepare_batch(batch)), mesh)
+        losses, metrics = eval_step_fn(variables, batch, rng)
+        numbers = {
+            **{f"loss/{k}": np.asarray(v) for k, v in losses.items()},
+            **{k: np.asarray(v) for k, v in metrics.items()},
+        }
+        for k, v in numbers.items():
+            if k not in accums:
+                if k in conf.median_metrics:
+                    accums[k] = MedianMetric()
+                elif k in conf.recall_metrics:
+                    accums[k] = RecallMetric(conf.recall_metrics[k])
+                else:
+                    accums[k] = AverageMetric()
+                if k in conf.median_metrics:
+                    accums[k + "_median"] = MedianMetric()
+            accums[k].update(v)
+            if k + "_median" in accums:
+                accums[k + "_median"].update(v)
+    return {k: m.compute() for k, m in accums.items()}
+
+
+def training(conf: Config, output_dir: Path, args):
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    rng_key = set_seed(conf.train.seed)
+    writer = None
+    if not args.no_tensorboard:
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(str(output_dir))
+        except ImportError:
+            pass
+
+    # data -----------------------------------------------------------------
+    data_conf = conf.data
+    dataset = get_dataset(data_conf.name)(data_conf)
+    if args.overfit:
+        train_loader = dataset.get_overfit_loader("train")
+        val_loader = dataset.get_overfit_loader("val")
+    else:
+        train_loader = dataset.get_data_loader("train")
+        val_loader = dataset.get_data_loader("val")
+    steps_per_epoch = max(len(train_loader), 1)
+    logger.info("Training loader has %d batches", steps_per_epoch)
+
+    # mesh -----------------------------------------------------------------
+    mesh = make_mesh(args.n_devices)
+    logger.info("Mesh: %d devices (%s)", mesh.size, mesh.devices.ravel()[0].platform)
+
+    # model ----------------------------------------------------------------
+    model_conf = conf.model
+    model = get_model(model_conf.name).from_conf(
+        {k: v for k, v in model_conf.to_dict().items() if k != "name"}
+    )
+
+    init_batch = next(iter(train_loader))
+    init_batch_dev = strip_non_arrays(prepare_batch(init_batch))
+    init_rng, sample_rng, rng_key = jax.random.split(rng_key, 3)
+    with jax.default_device(jax.devices()[0]):
+        variables = model.init(
+            {"params": init_rng, "sample": sample_rng}, init_batch_dev, method="initialize"
+        )
+    variables = dict(variables)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    logger.info("Model has %.2fM parameters", n_params / 1e6)
+
+    # optional warm start / restore ---------------------------------------
+    epoch0, iter0, best_eval = 0, 0, None
+    tx, schedule = build_optimizer(conf.train, variables["params"], model, steps_per_epoch)
+    opt_state = tx.init(variables["params"])
+    if args.restore:
+        ckpt_path = get_last_checkpoint(output_dir.name)
+        payload = load_checkpoint(ckpt_path, {"params": variables["params"], "batch_stats": variables.get("batch_stats", {}), "opt_state": opt_state})
+        variables["params"] = payload["state"]["params"]
+        if payload["state"].get("batch_stats"):
+            variables["batch_stats"] = payload["state"]["batch_stats"]
+        opt_state = payload["state"]["opt_state"]
+        epoch0 = payload["epoch"] + 1
+        logger.info("Restored from %s at epoch %d", ckpt_path, epoch0)
+    elif conf.train.load_experiment:
+        from .utils.experiments import get_best_checkpoint
+
+        ckpt_path = get_best_checkpoint(conf.train.load_experiment)
+        payload = load_checkpoint(ckpt_path)
+        from flax import serialization as _ser
+
+        variables["params"] = _ser.from_state_dict(
+            variables["params"], payload["state"]["params"]
+        )
+        logger.info("Warm-started from experiment %s", conf.train.load_experiment)
+
+    # jitted steps ---------------------------------------------------------
+    train_step = jax.jit(make_train_step(model, tx, conf.train.mixed_precision), donate_argnums=(0, 1))
+    eval_step = jax.jit(make_eval_step(model))
+
+    # save resolved conf
+    with open(output_dir / "config.yaml", "w") as f:
+        f.write(conf.to_yaml())
+
+    total_iter = iter0
+    stop = False
+    results: dict = {}
+    train_bs = dataset.batch_size("train")
+    with SigIntHandler() as sig:
+        for epoch in range(epoch0, conf.train.epochs):
+            if stop:
+                break
+            # per-epoch dataset resampling hook (reference train.py:443-455)
+            cb = conf.train.dataset_callback_fn
+            if cb and hasattr(dataset, cb):
+                getattr(dataset, cb)(conf.train.seed + epoch)
+                train_loader = dataset.get_data_loader("train")
+            dataset.epoch = epoch
+
+            t_start = time.time()
+            n_samples = 0
+            for it, batch in enumerate(train_loader):
+                batch_dev = shard_batch(strip_non_arrays(prepare_batch(batch)), mesh)
+                step_rng = jax.random.fold_in(rng_key, total_iter)
+                variables, opt_state, losses, metrics, info = train_step(
+                    variables, opt_state, batch_dev, step_rng
+                )
+                n_samples += train_bs
+                if it % conf.train.log_every_iter == 0:
+                    losses_np = {k: float(v) for k, v in losses.items()}
+                    lr = float(schedule(total_iter))
+                    sps = n_samples / (time.time() - t_start + 1e-9)
+                    logger.info(
+                        "[E %d | it %d] loss {%s} lr %.2e %.1f samples/s",
+                        epoch,
+                        it,
+                        ", ".join(f"{k} {v:.3f}" for k, v in losses_np.items()),
+                        lr,
+                        sps,
+                    )
+                    if writer:
+                        x = total_iter if conf.train.log_it else total_iter * (
+                            dataset.batch_size("train")
+                        )
+                        for k, v in losses_np.items():
+                            writer.add_scalar(f"training/loss/{k}", v, x)
+                        writer.add_scalar("training/lr", lr, x)
+                        writer.add_scalar("training/grad_norm", float(info["grad_norm"]), x)
+                        writer.add_scalar("training/samples_per_sec", sps, x)
+
+                do_eval = (
+                    total_iter % conf.train.eval_every_iter == 0 and total_iter > 0
+                ) or it == len(train_loader) - 1
+                if do_eval:
+                    results = do_evaluation(
+                        eval_step, variables, val_loader, conf.train, mesh, rng_key,
+                        max_iters=args.max_val_iters,
+                    )
+                    str_results = ", ".join(
+                        f"{k} {v:.4f}" for k, v in results.items() if np.isscalar(v)
+                    )
+                    logger.info("[Validation] {%s}", str_results)
+                    if writer:
+                        for k, v in results.items():
+                            if np.isscalar(v):
+                                writer.add_scalar(f"val/{k}", float(v), total_iter)
+
+                if stop or sig.stop:
+                    stop = True
+                    break
+                total_iter += 1
+
+            # end of epoch: checkpoint
+            state = {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+                "opt_state": opt_state,
+            }
+            results_scalar = {k: v for k, v in results.items() if np.isscalar(v)}
+            path = save_checkpoint(
+                state, conf, results_scalar, output_dir, epoch, total_iter,
+                interrupted=stop and sig.stop,
+            )
+            best_eval = update_best_checkpoint(
+                path, results_scalar, conf.train.best_key, best_eval
+            )
+            delete_old_checkpoints(output_dir, conf.train.keep_last_checkpoints)
+
+    logger.info("Finished training.")
+    if writer:
+        writer.close()
+    return variables
+
+
+def main_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("experiment", type=str)
+    parser.add_argument("--conf", type=str, default=None)
+    parser.add_argument("--overfit", action="store_true")
+    parser.add_argument("--restore", action="store_true")
+    parser.add_argument("--no_tensorboard", action="store_true")
+    parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--max_val_iters", type=int, default=None)
+    parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("dotlist", nargs="*")
+    return parser.parse_intermixed_args(argv)
+
+
+def main(argv=None):
+    args = main_args(argv)
+    conf = Config(default_conf)
+    if args.conf:
+        conf = merge(conf, from_yaml(args.conf))
+    if args.dotlist:
+        conf = merge(conf, from_dotlist(args.dotlist))
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+    output_dir = Path(TRAINING_PATH, args.experiment)
+    return training(conf, output_dir, args)
+
+
+if __name__ == "__main__":
+    main()
