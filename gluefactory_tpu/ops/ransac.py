@@ -1,0 +1,187 @@
+"""Batched XLA RANSAC: homography (4-pt DLT) and essential matrix (8-pt).
+
+TPU-native replacement for the reference's per-pair CPU C++ RANSAC backends
+(SURVEY §2.9: OpenCV/PoseLib/pycolmap wrappers). All hypotheses are generated
+and scored as ONE batched computation — thousands of minimal samples scored
+in parallel on the MXU/VPU instead of a sequential CPU loop. Fixed shapes +
+validity masks; jit-safe; vmap-able over pairs.
+
+Local optimization: one weighted least-squares refit on the best hypothesis's
+inliers (the LO step of LO-RANSAC, which the reference gets from PoseLib).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.homography import compute_homography_dlt, sym_homography_error_all
+from ..geometry.utils import to_homogeneous
+
+
+def _sample_minimal_sets(rng, n_iters: int, sample_size: int, n: int, valid):
+    """(n_iters, sample_size) indices drawn from valid entries (with repl.
+    across iterations, Gumbel top-k without replacement within a set)."""
+    logits = jnp.where(valid, 0.0, -jnp.inf)[None, :]  # (1, N)
+    g = jax.random.gumbel(rng, (n_iters, valid.shape[0]))
+    scores = logits + g
+    _, idx = jax.lax.top_k(scores, sample_size)
+    return idx
+
+
+def _homography_residuals(H, pts0, pts1):
+    """Symmetric transfer error per point for a single H: (N,)."""
+    from ..geometry.homography import warp_points
+
+    fwd = warp_points(pts0[None], H[None])[0]
+    bwd = warp_points(pts1[None], H[None], inverse=True)[0]
+    e0 = jnp.sum((fwd - pts1) ** 2, -1)
+    e1 = jnp.sum((bwd - pts0) ** 2, -1)
+    return 0.5 * (e0 + e1)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def ransac_homography(pts0, pts1, valid, th: float, rng, n_iters: int = 1024):
+    """pts0/pts1 (N, 2), valid (N,) bool mask. Returns dict with
+    H (3,3), inliers (N,), num_inliers, success."""
+    n = pts0.shape[0]
+    idx = _sample_minimal_sets(rng, n_iters, 4, n, valid)  # (I, 4)
+    s0 = pts0[idx]  # (I, 4, 2)
+    s1 = pts1[idx]
+    H_hyp = compute_homography_dlt(s0, s1)  # (I, 3, 3)
+
+    res = jax.vmap(_homography_residuals, in_axes=(0, None, None))(H_hyp, pts0, pts1)
+    th2 = th * th
+    inl = (res < th2) & valid[None, :]
+    # guard degenerate hypotheses
+    finite = jnp.isfinite(H_hyp).all(axis=(-1, -2))
+    counts = jnp.where(finite, inl.sum(-1), -1)
+    best = jnp.argmax(counts)
+    H_best = H_hyp[best]
+    inliers = inl[best]
+
+    # local optimization: weighted DLT refit on inliers (2 rounds)
+    def refit(H, _):
+        w = ((_homography_residuals(H, pts0, pts1) < th2) & valid).astype(jnp.float32)
+        H_new = compute_homography_dlt(pts0[None], pts1[None], w[None])[0]
+        ok = jnp.isfinite(H_new).all() & (w.sum() >= 4)
+        return jnp.where(ok, H_new, H), None
+
+    H_best, _ = jax.lax.scan(refit, H_best, None, length=2)
+    inliers = (_homography_residuals(H_best, pts0, pts1) < th2) & valid
+    num = inliers.sum()
+    return {
+        "M_0to1": H_best,
+        "inliers": inliers,
+        "num_inliers": num,
+        "success": num >= 4,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Essential matrix (8-point) RANSAC
+# ---------------------------------------------------------------------------
+
+
+def _essential_8pt(p0, p1):
+    """Batched 8-point essential from normalized coords: (..., 8, 2) x2 ->
+    (..., 3, 3), projected onto the essential manifold."""
+    x0, y0 = p0[..., 0], p0[..., 1]
+    x1, y1 = p1[..., 0], p1[..., 1]
+    ones = jnp.ones_like(x0)
+    # rows of the epipolar constraint x1^T E x0 = 0
+    A = jnp.stack(
+        [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, ones], axis=-1
+    )  # (..., 8, 9)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    e = vecs[..., :, 0]
+    E = e.reshape(e.shape[:-1] + (3, 3))
+    # project onto essential manifold: singular values (1, 1, 0)
+    U, s, Vt = jnp.linalg.svd(E)
+    S = jnp.zeros_like(E).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    return U @ S @ Vt
+
+
+def _epipolar_residuals(E, p0, p1):
+    """Squared symmetric epipolar distance (Sampson-like) per point: (N,)."""
+    p0h = to_homogeneous(p0)
+    p1h = to_homogeneous(p1)
+    Ep0 = p0h @ E.T  # (N, 3)
+    Etp1 = p1h @ E  # (N, 3)
+    num = jnp.sum(p1h * Ep0, axis=-1) ** 2
+    d = num * (
+        1.0 / (Ep0[:, 0] ** 2 + Ep0[:, 1] ** 2 + 1e-15)
+        + 1.0 / (Etp1[:, 0] ** 2 + Etp1[:, 1] ** 2 + 1e-15)
+    )
+    return d
+
+
+def _triangulate_depths(R, t, p0, p1):
+    """Mid-point depths of points for cheirality checks. Returns (z0, z1)."""
+    # rays
+    r0 = to_homogeneous(p0)  # in cam0
+    r1 = to_homogeneous(p1)  # in cam1
+    # solve for depths: z1 * r1 = R (z0 * r0) + t  (least squares per point)
+    Rr0 = r0 @ R.T  # (N, 3)
+    # [Rr0, -r1] [z0, z1]^T = -t
+    a11 = jnp.sum(Rr0 * Rr0, -1)
+    a12 = -jnp.sum(Rr0 * r1, -1)
+    a22 = jnp.sum(r1 * r1, -1)
+    b1 = -jnp.sum(Rr0 * t, -1)
+    b2 = jnp.sum(r1 * t, -1)
+    det = a11 * a22 - a12 * a12
+    z0 = (b1 * a22 - b2 * a12) / (det + 1e-15)
+    z1 = (a11 * b2 - a12 * b1) / (det + 1e-15)
+    return z0, z1
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def ransac_essential(p0, p1, valid, th: float, rng, n_iters: int = 1024):
+    """8-point essential RANSAC over normalized image coords.
+
+    p0/p1 (N, 2) normalized coords, valid (N,), th in normalized units.
+    Returns dict with E, R, t (cheirality-resolved), inliers, num_inliers.
+    """
+    n = p0.shape[0]
+    idx = _sample_minimal_sets(rng, n_iters, 8, n, valid)
+    E_hyp = _essential_8pt(p0[idx], p1[idx])  # (I, 3, 3)
+    res = jax.vmap(_epipolar_residuals, in_axes=(0, None, None))(E_hyp, p0, p1)
+    th2 = th * th
+    inl = (res < th2) & valid[None, :]
+    finite = jnp.isfinite(E_hyp).all(axis=(-1, -2))
+    counts = jnp.where(finite, inl.sum(-1), -1)
+    best = jnp.argmax(counts)
+    E_best = E_hyp[best]
+    inliers = inl[best]
+
+    # decompose into 4 candidates, pick by cheirality over inliers
+    U, _, Vt = jnp.linalg.svd(E_best)
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E_best.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t_vec = U[:, 2]
+    cands = [(R1, t_vec), (R1, -t_vec), (R2, t_vec), (R2, -t_vec)]
+    scores = []
+    for R, t in cands:
+        z0, z1 = _triangulate_depths(R, t, p0, p1)
+        scores.append(((z0 > 0) & (z1 > 0) & inliers).sum())
+    scores = jnp.stack(scores)
+    k = jnp.argmax(scores)
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    R_best = Rs[k]
+    t_best = ts[k]
+    num = inliers.sum()
+    return {
+        "E": E_best,
+        "R": R_best,
+        "t": t_best,
+        "inliers": inliers,
+        "num_inliers": num,
+        "success": num >= 8,
+    }
