@@ -55,6 +55,10 @@ class ImagePreprocessor:
         "antialias": True,
         "square_pad": False,
         "add_padding_mask": False,
+        # pad the image buffer (zeros) up to the next multiple — keeps
+        # `image_size` at the true size so models can mask the pad region;
+        # bounds the number of distinct XLA compilations across an eval set
+        "pad_to_multiple": None,
     }
 
     def __init__(self, conf=None):
@@ -104,11 +108,19 @@ class ImagePreprocessor:
             side = max(img.shape[0], img.shape[1])
             padded = np.zeros((side, side, img.shape[2]), dtype=img.dtype)
             padded[: img.shape[0], : img.shape[1]] = img
-            if self.conf.add_padding_mask or True:
-                mask = np.zeros((side, side), dtype=bool)
-                mask[: img.shape[0], : img.shape[1]] = True
-                out["padding_mask"] = mask
+            mask = np.zeros((side, side), dtype=bool)
+            mask[: img.shape[0], : img.shape[1]] = True
+            out["padding_mask"] = mask
             out["image"] = padded
+        if self.conf.pad_to_multiple:
+            m = int(self.conf.pad_to_multiple)
+            img_c = out["image"]
+            ph = -(-img_c.shape[0] // m) * m
+            pw = -(-img_c.shape[1] // m) * m
+            if (ph, pw) != img_c.shape[:2]:
+                padded = np.zeros((ph, pw, img_c.shape[2]), dtype=img_c.dtype)
+                padded[: img_c.shape[0], : img_c.shape[1]] = img_c
+                out["image"] = padded
         return out
 
 

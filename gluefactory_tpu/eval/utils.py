@@ -1,0 +1,280 @@
+"""Per-pair evaluation metrics (role of reference `eval/utils.py:41-337`).
+
+These run in the eval pipeline's loop 2 over cached predictions, per item on
+the host — pure numpy for latency (eager device ops would round-trip the TPU
+tunnel per pair). The batched XLA RANSAC estimators are used through the
+estimator registry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry.wrappers import Camera, Pose
+from ..robust_estimators import load_estimator
+from ..utils.tools import AUCMetric
+
+
+# ---------------------------------------------------------------------------
+# numpy geometry helpers (host-side mirrors of geometry/*.py)
+# ---------------------------------------------------------------------------
+
+
+def warp_points_np(points: np.ndarray, H: np.ndarray, inverse: bool = False) -> np.ndarray:
+    H = np.linalg.inv(H) if inverse else H
+    pts_h = np.concatenate([points, np.ones_like(points[..., :1])], axis=-1)
+    warped = pts_h @ H.T
+    return warped[..., :2] / (warped[..., 2:] + 1e-12)
+
+
+def sym_homography_error_np(kpts0, kpts1, H) -> np.ndarray:
+    d01 = np.linalg.norm(warp_points_np(kpts0, H) - kpts1, axis=-1)
+    d10 = np.linalg.norm(warp_points_np(kpts1, H, inverse=True) - kpts0, axis=-1)
+    return 0.5 * (d01 + d10)
+
+
+def sym_epipolar_distance_np(p0, p1, E, squared=True) -> np.ndarray:
+    p0h = np.concatenate([p0, np.ones_like(p0[..., :1])], -1)
+    p1h = np.concatenate([p1, np.ones_like(p1[..., :1])], -1)
+    Ep0 = p0h @ E.T
+    Etp1 = p1h @ E
+    num = np.sum(p1h * Ep0, -1) ** 2
+    d = num * (
+        1.0 / (Ep0[..., 0] ** 2 + Ep0[..., 1] ** 2 + 1e-15)
+        + 1.0 / (Etp1[..., 0] ** 2 + Etp1[..., 1] ** 2 + 1e-15)
+    )
+    return d if squared else np.sqrt(np.abs(d) + 1e-15)
+
+
+def pose_to_E(T: Pose) -> np.ndarray:
+    R = np.asarray(T.R)
+    t = np.asarray(T.t)
+    tx = np.array(
+        [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]], dtype=np.float64
+    )
+    return tx @ R
+
+
+def angle_error_mat_np(R1, R2):
+    cos = np.clip((np.trace(R1.T @ R2) - 1) / 2, -1.0, 1.0)
+    return np.rad2deg(np.abs(np.arccos(cos)))
+
+
+def angle_error_vec_np(v1, v2):
+    n = np.linalg.norm(v1) * np.linalg.norm(v2)
+    err = np.rad2deg(np.arccos(np.clip(np.dot(v1, v2) / (n + 1e-15), -1.0, 1.0)))
+    return min(err, 180.0 - err)
+
+
+def relative_pose_error_np(T_0to1: Pose, R, t):
+    R_gt, t_gt = np.asarray(T_0to1.R), np.asarray(T_0to1.t)
+    return angle_error_mat_np(np.asarray(R), R_gt), angle_error_vec_np(np.asarray(t), t_gt)
+
+
+# ---------------------------------------------------------------------------
+# matches extraction
+# ---------------------------------------------------------------------------
+
+
+def get_matches_scores(kpts0, kpts1, matches0, mscores0):
+    """Select matched keypoint pairs (unbatched numpy arrays)."""
+    matches0 = np.asarray(matches0)
+    valid = matches0 > -1
+    m_kpts0 = np.asarray(kpts0)[valid]
+    m_kpts1 = np.asarray(kpts1)[matches0[valid]]
+    scores = np.asarray(mscores0)[valid]
+    return m_kpts0, m_kpts1, scores
+
+
+def eval_per_batch_item(data, pred, eval_f, *args, **kwargs):
+    results = [
+        eval_f(data_i, pred_i, *args, **kwargs)
+        for data_i, pred_i in zip(data, pred)
+    ]
+    return {k: [r[k] for r in results] for k in results[0].keys()}
+
+
+# ---------------------------------------------------------------------------
+# metric functions (each: data_i, pred_i unbatched -> dict of scalars)
+# ---------------------------------------------------------------------------
+
+
+def eval_matches_homography(data: dict, pred: dict) -> dict:
+    """(reference `eval/utils.py:137-156`)"""
+    H_gt = np.asarray(data["H_0to1"])
+    kpts0, kpts1 = pred["keypoints0"], pred["keypoints1"]
+    m0, scores0 = pred["matches0"], pred["matching_scores0"]
+    pts0, pts1, scores = get_matches_scores(kpts0, kpts1, m0, scores0)
+    err = sym_homography_error_np(pts0, pts1, H_gt)
+    results = {
+        "prec@1px": float(np.nan_to_num((err < 1).mean()) if err.size else np.nan),
+        "prec@3px": float(np.nan_to_num((err < 3).mean()) if err.size else np.nan),
+        "num_matches": int(pts0.shape[0]),
+        "num_keypoints": int((np.asarray(pred.get("keypoint_mask0", np.ones(len(kpts0), bool))).sum() + np.asarray(pred.get("keypoint_mask1", np.ones(len(kpts1), bool))).sum()) / 2),
+    }
+    return results
+
+
+def eval_matches_epipolar(data: dict, pred: dict) -> dict:
+    """(reference `eval/utils.py:41-70`)"""
+    T_0to1: Pose = data["T_0to1"]
+    camera0: Camera = data["view0"]["camera"]
+    camera1: Camera = data["view1"]["camera"]
+    kpts0, kpts1 = pred["keypoints0"], pred["keypoints1"]
+    m0, scores0 = pred["matches0"], pred["matching_scores0"]
+    pts0, pts1, scores = get_matches_scores(kpts0, kpts1, m0, scores0)
+    p0 = np.asarray(camera0.normalize(np.asarray(pts0)[None]))[0]
+    p1 = np.asarray(camera1.normalize(np.asarray(pts1)[None]))[0]
+    E = pose_to_E(T_0to1)
+    epi_err = sym_epipolar_distance_np(p0, p1, E, squared=False)
+    results = {
+        "epi_prec@1e-4": float((epi_err < 1e-4).mean()) if epi_err.size else np.nan,
+        "epi_prec@5e-4": float((epi_err < 5e-4).mean()) if epi_err.size else np.nan,
+        "epi_prec@1e-3": float((epi_err < 1e-3).mean()) if epi_err.size else np.nan,
+        "num_matches": int(pts0.shape[0]),
+    }
+    return results
+
+
+def eval_matches_depth(data: dict, pred: dict) -> dict:
+    """Reprojection precision via GT depth + GT recall/precision
+    (reference `eval/utils.py:73-134`)."""
+    import jax.numpy as jnp
+
+    from ..geometry.depth import symmetric_reprojection_error
+
+    camera0: Camera = data["view0"]["camera"]
+    camera1: Camera = data["view1"]["camera"]
+    T_0to1: Pose = data["T_0to1"]
+    depth0 = np.asarray(data["view0"]["depth"])
+    depth1 = np.asarray(data["view1"]["depth"])
+    kpts0, kpts1 = pred["keypoints0"], pred["keypoints1"]
+    m0, scores0 = pred["matches0"], pred["matching_scores0"]
+    pts0, pts1, scores = get_matches_scores(kpts0, kpts1, m0, scores0)
+    if pts0.shape[0] == 0:
+        return {"reproj_prec@1px": np.nan, "reproj_prec@3px": np.nan, "num_matches": 0}
+    err, valid = symmetric_reprojection_error(
+        jnp.asarray(pts0[None], jnp.float32),
+        jnp.asarray(pts1[None], jnp.float32),
+        camera0, camera1, T_0to1,
+        jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
+    )
+    err = np.asarray(err)[0]
+    valid = np.asarray(valid)[0]
+    err = err[valid]
+    return {
+        "reproj_prec@1px": float((err < 1).mean()) if err.size else np.nan,
+        "reproj_prec@3px": float((err < 3).mean()) if err.size else np.nan,
+        "num_matches": int(pts0.shape[0]),
+    }
+
+
+def eval_relative_pose_robust(data: dict, pred: dict, conf) -> dict:
+    """(reference `eval/utils.py:159-194`)"""
+    T_0to1: Pose = data["T_0to1"]
+    camera0 = data["view0"]["camera"]
+    camera1 = data["view1"]["camera"]
+    kpts0, kpts1 = pred["keypoints0"], pred["keypoints1"]
+    m0, scores0 = pred["matches0"], pred["matching_scores0"]
+    pts0, pts1, scores = get_matches_scores(kpts0, kpts1, m0, scores0)
+
+    estimator = load_estimator("relative_pose", conf["estimator"])(conf)
+    est = estimator(
+        {"m_kpts0": pts0, "m_kpts1": pts1, "camera0": camera0, "camera1": camera1}
+    )
+    if not est["success"]:
+        return {"rel_pose_error": np.inf, "ransac_inl": 0, "ransac_inl%": 0.0}
+    M = est["M_0to1"]
+    inl = np.asarray(est["inliers"])
+    r_err, t_err = relative_pose_error_np(T_0to1, M.R, M.t)
+    return {
+        "rel_pose_error": float(max(r_err, t_err)),
+        "ransac_inl": int(inl.sum()),
+        "ransac_inl%": float(inl.mean()) if inl.size else 0.0,
+    }
+
+
+def eval_homography_robust(data: dict, pred: dict, conf) -> dict:
+    """(reference `eval/utils.py:197-238`)"""
+    H_gt = np.asarray(data["H_0to1"])
+    kpts0, kpts1 = pred["keypoints0"], pred["keypoints1"]
+    m0, scores0 = pred["matches0"], pred["matching_scores0"]
+    pts0, pts1, scores = get_matches_scores(kpts0, kpts1, m0, scores0)
+    estimator = load_estimator("homography", conf["estimator"])(conf)
+    est = estimator({"m_kpts0": pts0, "m_kpts1": pts1})
+    if not est["success"]:
+        return {"H_error_ransac": np.inf, "ransac_inl": 0, "ransac_inl%": 0.0}
+    M = np.asarray(est["M_0to1"])
+    inl = np.asarray(est["inliers"])
+    size = np.asarray(data["view0"]["image_size"])
+    err = homography_corner_error_np(M, H_gt, size)
+    return {
+        "H_error_ransac": float(err),
+        "ransac_inl": int(inl.sum()),
+        "ransac_inl%": float(inl.mean()) if inl.size else 0.0,
+    }
+
+
+def homography_corner_error_np(H, H_gt, image_size) -> float:
+    w, h = float(image_size[0]), float(image_size[1])
+    corners = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
+    d = np.linalg.norm(
+        warp_points_np(corners, np.asarray(H, np.float64))
+        - warp_points_np(corners, np.asarray(H_gt, np.float64)),
+        axis=-1,
+    )
+    return float(d.mean())
+
+
+def eval_homography_dlt(data: dict, pred: dict) -> dict:
+    """Weighted DLT homography from all matches (reference
+    `eval/utils.py:241-261`, which uses kornia's weighted DLT)."""
+    import jax.numpy as jnp
+
+    from ..geometry.homography import compute_homography_dlt
+
+    H_gt = np.asarray(data["H_0to1"])
+    kpts0, kpts1 = pred["keypoints0"], pred["keypoints1"]
+    m0, scores0 = pred["matches0"], pred["matching_scores0"]
+    pts0, pts1, scores = get_matches_scores(kpts0, kpts1, m0, scores0)
+    error = np.nan
+    if pts0.shape[0] >= 4 and scores.sum() > 0:
+        H = compute_homography_dlt(
+            jnp.asarray(pts0[None], jnp.float32),
+            jnp.asarray(pts1[None], jnp.float32),
+            jnp.asarray(scores[None], jnp.float32),
+        )
+        H = np.asarray(H)[0]
+        if np.isfinite(H).all():
+            size = np.asarray(data["view0"]["image_size"])
+            error = homography_corner_error_np(H, H_gt, size)
+    return {"H_error_dlt": float(error)}
+
+
+def eval_poses(pose_results: dict, auc_ths: list, key: str, unit: str = "°") -> dict:
+    """Select the best RANSAC threshold by mAA and compute pose AUCs
+    (reference `eval/utils.py:264-289`).
+
+    pose_results: {th: {key: [per-pair errors], ...}}."""
+    pose_aucs = {}
+    best_th = -1
+    for th, results_i in pose_results.items():
+        pose_aucs[th] = AUCMetric(auc_ths, results_i[key]).compute()
+    mAAs = {k: np.mean(v) for k, v in pose_aucs.items()}
+    best_th = max(mAAs, key=mAAs.get)
+
+    if len(pose_results) > 1:
+        print("Tested ransac setup with following results:")
+        for k, v in mAAs.items():
+            print(f"AUC {k}: {v}")
+        print(f"Best threshold: {best_th}")
+
+    summaries = {}
+    for i, ath in enumerate(auc_ths):
+        summaries[f"{key}@{ath}{unit}"] = pose_aucs[best_th][i]
+    summaries[f"{key}_mAA"] = mAAs[best_th]
+    for k, v in pose_results[best_th].items():
+        arr = np.asarray(v, dtype=np.float64)
+        if arr.ndim == 1:
+            summaries[f"m{k}"] = float(np.nanmedian(arr))
+    return summaries, best_th

@@ -111,6 +111,19 @@ class SuperPoint(BaseModel):
         # keypoint selection: NMS -> border removal -> static top-k + mask
         nmsed = simple_nms(scores, c.nms_radius)
         nmsed = remove_borders(nmsed, c.remove_borders)
+        # mask detections beyond the true image area (the image buffer may be
+        # padded to a bucketed size for compile-count bounding — the true size
+        # lives in data["image_size"])
+        true_size = data.get("image_size")
+        if true_size is not None:
+            Hs, Ws = nmsed.shape[1:3]
+            xs = jnp.arange(Ws, dtype=jnp.float32)[None, None, :]
+            ys = jnp.arange(Hs, dtype=jnp.float32)[None, :, None]
+            b_ = float(c.remove_borders)
+            w_true = true_size[:, 0][:, None, None]
+            h_true = true_size[:, 1][:, None, None]
+            in_area = (xs < w_true - b_) & (ys < h_true - b_)
+            nmsed = jnp.where(in_area, nmsed, jnp.zeros_like(nmsed))
         k = int(c.max_num_keypoints)
         kpts, kpt_scores, valid = top_k_keypoints(nmsed, k, c.detection_threshold)
 

@@ -1,0 +1,108 @@
+"""Export model predictions to an h5 cache (role of reference
+`utils/export_predictions.py:17-81`).
+
+Loop 1 of the eval protocol: run inference over a dataset, un-scale
+keypoints/lines back to original image resolution, write one h5 group per
+item. Masked (padded) keypoints are trimmed before writing so the cache holds
+exactly the valid sets — loop 2 and the reference CacheLoader see ragged,
+original-resolution features, identical semantics to the reference.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from .. import logger
+from ..data.base_dataset import prepare_batch
+from ..utils.tensor import map_tensor
+
+
+def unscale_keypoints(pred: dict, data_i: dict) -> dict:
+    """Rescale kpts/lines from processed to original resolution using the
+    per-view `scales` (reference `export_predictions.py:44-62`)."""
+    out = dict(pred)
+    for i in ("0", "1"):
+        view = data_i.get(f"view{i}", {})
+        scales = view.get("scales")
+        if scales is None:
+            continue
+        s = np.asarray(scales)
+        for key in (f"keypoints{i}", f"lines{i}", f"orig_lines{i}"):
+            if key in out:
+                out[key] = out[key] / s.reshape(*([1] * (out[key].ndim - 1)), 2)
+    return out
+
+
+def trim_masked(pred: dict) -> dict:
+    """Drop padded entries using keypoint/line masks; removes the masks."""
+    out = dict(pred)
+    for i in ("0", "1"):
+        mask = out.pop(f"keypoint_mask{i}", None)
+        if mask is None:
+            continue
+        mask = np.asarray(mask).astype(bool)
+        for key in (f"keypoints{i}", f"keypoint_scores{i}", f"descriptors{i}",
+                    f"matches{i}", f"matching_scores{i}", f"scales{i}", f"oris{i}"):
+            if key in out and np.asarray(out[key]).shape[:1] == mask.shape:
+                out[key] = np.asarray(out[key])[mask]
+        lmask = out.pop(f"line_mask{i}", None)
+        if lmask is not None:
+            for key in (f"lines{i}", f"line_scores{i}"):
+                if key in out:
+                    out[key] = np.asarray(out[key])[np.asarray(lmask).astype(bool)]
+    return out
+
+
+def export_predictions(
+    loader,
+    apply_fn,
+    output_file: Path,
+    as_half: bool = False,
+    keys: str | list = "*",
+    callback_fn=None,
+    trim_masks: bool = True,
+):
+    """Run `apply_fn(prepared_batch) -> pred (numpy dict, unbatched)` over the
+    loader and cache results. apply_fn owns jit/device placement."""
+    output_file = Path(output_file)
+    output_file.parent.mkdir(exist_ok=True, parents=True)
+    with h5py.File(str(output_file), "w") as hfile:
+        for i, batch in enumerate(loader):
+            prepared = prepare_batch(batch)
+            pred = apply_fn(prepared)
+            # unbatch
+            pred = map_tensor(pred, lambda x: np.asarray(x)[0])
+            data_i = map_tensor(
+                {k: v for k, v in batch.items() if k.startswith("view")},
+                lambda x: np.asarray(x)[0],
+            )
+            if keys != "*":
+                pred = {k: v for k, v in pred.items() if k in keys}
+            if callback_fn is not None:
+                pred = {**callback_fn(pred, map_tensor(batch, lambda x: np.asarray(x)[0])), **pred}
+            if trim_masks:
+                pred = trim_masked(pred)
+            pred = unscale_keypoints(pred, data_i)
+            if as_half:
+                for k, v in pred.items():
+                    if isinstance(v, np.ndarray) and v.dtype == np.float32:
+                        pred[k] = v.astype(np.float16)
+            name = batch["name"][0] if "name" in batch else str(i)
+            try:
+                grp = hfile.create_group(str(name))
+            except ValueError:
+                grp = hfile.create_group(f"{name}_{i}")
+            for k, v in pred.items():
+                if isinstance(v, np.ndarray):
+                    grp.create_dataset(k, data=v)
+            if i % 50 == 0:
+                logger.info("Exported %d items", i)
+    return output_file
+
+
+def load_prediction(hfile: h5py.File, name: str) -> dict:
+    grp = hfile[str(name)]
+    return {k: np.asarray(grp[k]) for k in grp.keys()}
