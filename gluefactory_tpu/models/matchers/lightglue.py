@@ -246,6 +246,19 @@ class LightGlue(BaseModel):
             pred["ref_descriptors1"] = jnp.stack(all_desc1, axis=1)
         return pred
 
+    def initialize(self, data: dict) -> dict:
+        """Create ALL parameters, including the per-layer assignment heads and
+        token-confidence MLPs used only in the loss (deep supervision)."""
+        pred = self(data, train=True)
+        mask0 = data.get("keypoint_mask0")
+        mask1 = data.get("keypoint_mask1")
+        for i in range(self.conf.n_layers - 1):
+            d0 = pred["ref_descriptors0"][:, i]
+            d1 = pred["ref_descriptors1"][:, i]
+            self.log_assignment[i](d0, d1, mask0, mask1)
+            self.token_confidence[i](d0, d1)
+        return pred
+
     # ------------------------------------------------------------------
     # Loss: deep supervision (reference lightglue.py:578-627)
     # ------------------------------------------------------------------

@@ -73,6 +73,23 @@ class TwoViewPipeline(BaseModel):
             pred = {**pred, **gt_pred}
         return pred
 
+    def initialize(self, data: dict) -> dict:
+        """Create all sub-model parameters, including loss-only ones, by
+        delegating to each component's own `initialize`."""
+        pred0 = self.extract_view(data, "0", train=True)
+        pred1 = self.extract_view(data, "1", train=True)
+        pred = {
+            **{k + "0": v for k, v in pred0.items()},
+            **{k + "1": v for k, v in pred1.items()},
+        }
+        for comp in ("matcher", "filter", "solver"):
+            model = self.component(comp)
+            if model is not None:
+                pred = {**pred, **model.initialize({**data, **pred})}
+        if self.component("ground_truth") is not None:
+            pred = {**pred, **self.component("ground_truth")({**data, **pred})}
+        return pred
+
     def loss(self, pred: dict, data: dict, train: bool = True):
         losses = {}
         metrics = {}

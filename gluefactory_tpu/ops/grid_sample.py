@@ -53,12 +53,23 @@ def grid_sample_nd(fmap: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_descriptors(
-    kpts: jnp.ndarray, desc_map: jnp.ndarray, stride: int, normalize: bool = True
+    kpts: jnp.ndarray, desc_map: jnp.ndarray, stride: int, normalize: bool = True,
+    legacy_offset: bool = True,
 ) -> jnp.ndarray:
     """Sample a dense descriptor map (B, Hc, Wc, C) at full-resolution keypoint
     coords (B, N, 2): divide coords by `stride`, bilinear sample, L2-normalize.
+
+    With `legacy_offset` (default), reproduces the reference's
+    `sample_descriptors_fix_sampling` (`gluefactory_nonfree/superpoint.py:330-340`)
+    exactly: a COLMAP-convention keypoint u samples descriptor array index
+    (u - 0.5)/s - 0.5 (the reference passes pre-COLMAP integer coords through
+    align_corners=False grid_sample). Without it, the geometrically exact
+    center mapping u/s - 0.5 is used.
     """
-    pts = kpts / float(stride)
+    if legacy_offset:
+        pts = (kpts - 0.5) / float(stride)
+    else:
+        pts = kpts / float(stride)
     desc = grid_sample_nd(desc_map, pts)
     if normalize:
         desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
