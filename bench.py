@@ -4,10 +4,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: image pairs/sec/chip for the full two-view pipeline (SuperPoint
 extraction on 1024x1024 images + LightGlue matching of 2048 keypoints), the
-BASELINE.json north-star. Baseline anchor: the LightGlue paper reports ~55 ms
-/pair for SuperPoint+LightGlue-full (2048 kpts incl. extraction) on an RTX
-3080; an A100 is ~2x that GPU on inference => ~36 pairs/sec/chip assumed
-A100 baseline. vs_baseline = value / 36.0.
+BASELINE.json north-star.
+
+Methodology: ITERS forward passes are chained inside ONE jitted
+`lax.scan` — each iteration consumes a scalar derived from the previous
+iteration's output, so XLA cannot hoist or dedupe the loop body, and a single
+device round-trip covers the whole measurement (the axon relay's
+block_until_ready does not reliably synchronize, and per-iteration host syncs
+would measure tunnel RTT instead of device throughput).
+
+Baseline anchor: the LightGlue paper reports ~55 ms/pair for
+SuperPoint+LightGlue-full (2048 kpts incl. extraction) on an RTX 3080; an
+A100 is ~2x that on inference => ~36 pairs/sec/chip assumed A100 baseline.
 """
 
 from __future__ import annotations
@@ -22,8 +30,8 @@ A100_BASELINE_PAIRS_PER_SEC = 36.0
 BATCH = 4
 IMAGE_SIZE = 1024
 NUM_KEYPOINTS = 2048
-WARMUP = 2
-ITERS = 10
+ITERS = 20
+DTYPE = "bfloat16"  # forward compute dtype
 
 
 def main():
@@ -67,27 +75,48 @@ def main():
     variables = model.init(
         {"params": jax.random.key(0), "sample": jax.random.key(1)}, batch
     )
+    if DTYPE == "bfloat16":
+        cast = lambda x: (
+            x.astype(jnp.bfloat16)
+            if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
+            else x
+        )
+        variables = jax.tree.map(cast, variables)
+        batch = jax.tree.map(cast, batch)
 
-    @jax.jit
-    def forward(variables, batch):
-        return model.apply(variables, batch, rngs={"sample": jax.random.key(2)})
+    def one_pass(variables, batch, carry):
+        b = dict(batch)
+        b["view0"] = dict(b["view0"])
+        # chain on the previous output so iterations can't be hoisted/deduped
+        b["view0"]["image"] = b["view0"]["image"] + (carry * 1e-12).astype(
+            b["view0"]["image"].dtype
+        )
+        out = model.apply(variables, b, rngs={"sample": jax.random.key(2)})
+        return out["matching_scores0"].astype(jnp.float32).sum() * 1e-20
 
-    # warmup / compile
-    for _ in range(WARMUP):
-        out = forward(variables, batch)
-    jax.block_until_ready(out)
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def bench_fn(variables, batch, n):
+        def body(carry, _):
+            return one_pass(variables, batch, carry), None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return carry
+
+    # compile
+    float(bench_fn(variables, batch, n=ITERS))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = forward(variables, batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    float(bench_fn(variables, batch, n=ITERS))
+    dtN = time.perf_counter() - t0
 
-    pairs_per_sec = BATCH * ITERS / dt
+    pairs_per_sec = BATCH * ITERS / dtN  # conservative: includes one tunnel RTT
+
     print(
         json.dumps(
             {
-                "metric": "image pairs/sec/chip (SP+LightGlue, 2048 kpts, 1024px)",
+                "metric": "image pairs/sec/chip (SP+LightGlue, 2048 kpts, 1024px, bf16)",
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),

@@ -103,6 +103,8 @@ class ImagePreprocessor:
             "image_size": np.array([img.shape[1], img.shape[0]], dtype=np.float32),
             "scales": scales,
             "original_image_size": np.array([w, h], dtype=np.float32),
+            # 3x3 pixel-coordinate transform original -> processed
+            "transform": np.diag([scales[0], scales[1], 1.0]).astype(np.float32),
         }
         if self.conf.square_pad:
             side = max(img.shape[0], img.shape[1])
