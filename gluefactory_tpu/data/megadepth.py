@@ -1,0 +1,351 @@
+"""MegaDepth training/eval dataset (role of reference
+`datasets/megadepth.py:36-510`).
+
+Scene metadata from D2-Net-format `scene_info/<scene>.npz` (image/depth
+paths, poses, intrinsics, overlap matrix). Pair sampling binned by overlap
+range with per-epoch resampling via `sample_new_items(seed)` (wired to the
+train loop through `train.dataset_callback_fn`, reference `train.py:443-455`).
+Optional +/-90-degree rotation augmentation with intrinsics/pose/keypoint
+fixup, h5 depth, cached-feature loading for extractor-free training, and a
+triplet mode (views: 3).
+
+No auto-download (zero-egress): place MegaDepth under DATA_PATH/megadepth
+with `scene_info/`, `Undistorted_SfM/`, `depth_undistorted/`, and scene list
+files under `scene_lists/`.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from .. import logger
+from ..models.cache_loader import CacheLoader
+from ..settings import DATA_PATH
+from ..utils.tools import fork_rng
+from .base_dataset import BaseDataset
+from .geometry_io import camera_dict_from_K, compose_pose, invert_pose
+from .preprocess import ImagePreprocessor, read_image
+from .utils import rotate_intrinsics, rotate_pose_inplane, scale_intrinsics
+
+
+def sample_n(data, num, seed=None):
+    if len(data) > num:
+        selected = np.random.RandomState(seed).choice(len(data), num, replace=False)
+        return data[selected]
+    return data
+
+
+class MegaDepth(BaseDataset):
+    default_conf = {
+        # paths
+        "data_dir": "megadepth/",
+        "depth_subpath": "depth_undistorted/",
+        "image_subpath": "Undistorted_SfM/",
+        "info_dir": "scene_info/",
+        "scene_lists_dir": "scene_lists/",  # folder with split .txt files
+        # training
+        "train_split": "train_scenes_clean.txt",
+        "train_num_per_scene": 500,
+        "val_split": "valid_scenes_clean.txt",
+        "val_num_per_scene": None,
+        "val_pairs": None,
+        "test_split": "test_scenes_clean.txt",
+        "test_num_per_scene": None,
+        "test_pairs": None,
+        # data sampling
+        "views": 2,
+        "min_overlap": 0.3,
+        "max_overlap": 1.0,
+        "num_overlap_bins": 1,
+        "sort_by_overlap": False,
+        "triplet_enforce_overlap": False,
+        # image options
+        "read_depth": True,
+        "read_image": True,
+        "grayscale": False,
+        "preprocessing": {},
+        "p_rotate": 0.0,
+        "reseed": False,
+        "seed": 0,
+        # features from cache
+        "load_features": {"do": False, **CacheLoader.default_conf},
+    }
+
+    def _init(self, conf):
+        self.root = DATA_PATH / conf.data_dir
+        if not self.root.exists():
+            raise FileNotFoundError(f"MegaDepth not found at {self.root}")
+        self._datasets = {}
+
+    def get_dataset(self, split: str):
+        if split not in self._datasets:
+            self._datasets[split] = _MegaDepthItems(self.conf, split)
+        return self._datasets[split]
+
+    def sample_new_items(self, seed: int):
+        """Per-epoch pair resampling hook (train split)."""
+        self.get_dataset("train").sample_new_items(seed)
+
+
+class _MegaDepthItems:
+    def __init__(self, conf, split, load_sample=True):
+        self.conf = conf
+        self.split = split
+        self.root = DATA_PATH / conf.data_dir
+        self.scene_lists_path = self.root / conf.scene_lists_dir
+
+        split_conf = conf[split + "_split"]
+        if isinstance(split_conf, str):
+            scenes_path = self.scene_lists_path / split_conf
+            if not scenes_path.exists():
+                raise FileNotFoundError(
+                    f"scene list {scenes_path} not found; provide "
+                    f"data.{split}_split as an explicit list or add the file"
+                )
+            scenes = scenes_path.read_text().rstrip("\n").split("\n")
+        elif isinstance(split_conf, (list, tuple)):
+            scenes = list(split_conf)
+        else:
+            raise ValueError(f"unknown split conf {split_conf}")
+        scenes = sorted(set(scenes))
+
+        self.feature_loader = None
+        if conf.load_features.do:
+            self.feature_loader = CacheLoader(
+                {k: v for k, v in conf.load_features.to_dict().items() if k != "do"}
+            )
+        self.preprocessor = ImagePreprocessor(conf.preprocessing)
+
+        self.images, self.depths, self.poses, self.intrinsics = {}, {}, {}, {}
+        self.info_dir = self.root / conf.info_dir
+        self.scenes = []
+        for scene in scenes:
+            path = self.info_dir / (scene + ".npz")
+            try:
+                info = np.load(str(path), allow_pickle=True)
+            except Exception:
+                logger.warning("Cannot load scene info for %s at %s", scene, path)
+                continue
+            self.images[scene] = info["image_paths"]
+            self.depths[scene] = info["depth_paths"]
+            self.poses[scene] = info["poses"]
+            self.intrinsics[scene] = info["intrinsics"]
+            self.scenes.append(scene)
+
+        if load_sample:
+            self.sample_new_items(conf.seed)
+            assert len(self.items) > 0, "no MegaDepth items sampled"
+
+    def sample_new_items(self, seed: int):
+        logger.info("Sampling new %s MegaDepth items with seed %d", self.split, seed)
+        conf = self.conf
+        self.items = []
+        split = self.split
+        num_per_scene = conf[split + "_num_per_scene"]
+        if isinstance(num_per_scene, (list, tuple)):
+            num_pos, num_neg = num_per_scene
+        else:
+            num_pos, num_neg = num_per_scene, None
+
+        if split != "train" and conf.get(split + "_pairs") is not None:
+            pairs_path = self.scene_lists_path / conf[split + "_pairs"]
+            for line in pairs_path.read_text().rstrip("\n").split("\n"):
+                im0, im1 = line.split(" ")
+                scene = im0.split("/")[0]
+                im0, im1 = [conf.image_subpath + im for im in (im0, im1)]
+                idx0 = np.where(self.images[scene] == im0)[0][0]
+                idx1 = np.where(self.images[scene] == im1)[0][0]
+                self.items.append((scene, int(idx0), int(idx1), 1.0))
+        elif conf.views == 1:
+            for scene in self.scenes:
+                valid = (self.images[scene] != None) | (self.depths[scene] != None)  # noqa: E711
+                ids = np.where(valid)[0]
+                if num_pos and len(ids) > num_pos:
+                    ids = np.random.RandomState(seed).choice(ids, num_pos, replace=False)
+                self.items.extend([(scene, int(i)) for i in ids])
+        else:
+            for scene in self.scenes:
+                path = self.info_dir / (scene + ".npz")
+                info = np.load(str(path), allow_pickle=True)
+                valid = (self.images[scene] != None) & (self.depths[scene] != None)  # noqa: E711
+                ind = np.where(valid)[0]
+                mat = info["overlap_matrix"][valid][:, valid]
+                if conf.views == 3:
+                    self._sample_triplets(scene, ind, mat, num_pos, seed)
+                    continue
+                if num_pos is not None:
+                    # sample binned by overlap (reference megadepth.py:212-233)
+                    num_bins = conf.num_overlap_bins
+                    bin_width = (conf.max_overlap - conf.min_overlap) / num_bins
+                    num_per_bin = num_pos // num_bins
+                    pairs_all = []
+                    for k in range(num_bins):
+                        bin_min = conf.min_overlap + k * bin_width
+                        bin_max = bin_min + bin_width
+                        pairs_bin = (mat > bin_min) & (mat <= bin_max)
+                        pairs_all.append(np.stack(np.where(pairs_bin), -1))
+                    has_enough = [len(p) >= num_per_bin * 2 for p in pairs_all]
+                    num_per_bin_2 = num_pos // max(1, sum(has_enough))
+                    pairs = [
+                        sample_n(p, num_per_bin_2, seed)
+                        for p, keep in zip(pairs_all, has_enough)
+                        if keep
+                    ]
+                    pairs = np.concatenate(pairs, 0) if pairs else np.zeros((0, 2), int)
+                else:
+                    pairs = (mat > conf.min_overlap) & (mat <= conf.max_overlap)
+                    pairs = np.stack(np.where(pairs), -1)
+                pairs = [
+                    (scene, int(ind[i]), int(ind[j]), float(mat[i, j])) for i, j in pairs
+                ]
+                if num_neg is not None:
+                    neg_pairs = np.stack(np.where(mat <= 0.0), -1)
+                    neg_pairs = sample_n(neg_pairs, num_neg, seed)
+                    pairs += [
+                        (scene, int(ind[i]), int(ind[j]), float(mat[i, j]))
+                        for i, j in neg_pairs
+                    ]
+                self.items.extend(pairs)
+        if conf.views == 2 and conf.sort_by_overlap:
+            self.items.sort(key=lambda i: i[-1], reverse=True)
+        else:
+            np.random.RandomState(seed).shuffle(self.items)
+
+    def _sample_triplets(self, scene, ind, mat, num_pos, seed):
+        """Triplet sampling (reference megadepth.py:367-435): pick pairs then a
+        third view overlapping both."""
+        conf = self.conf
+        good = (mat > conf.min_overlap) & (mat <= conf.max_overlap)
+        pairs = np.stack(np.where(good), -1)
+        pairs = sample_n(pairs, num_pos or len(pairs), seed)
+        rng = np.random.RandomState(seed)
+        for i, j in pairs:
+            if conf.triplet_enforce_overlap:
+                k_candidates = np.where(good[i] & good[j])[0]
+            else:
+                k_candidates = np.where(good[i] | good[j])[0]
+            k_candidates = k_candidates[(k_candidates != i) & (k_candidates != j)]
+            if len(k_candidates) == 0:
+                continue
+            k = rng.choice(k_candidates)
+            self.items.append(
+                (
+                    scene, int(ind[i]), int(ind[j]), int(ind[k]),
+                    float(mat[i, j]), float(mat[i, k]), float(mat[j, k]),
+                )
+            )
+
+    # ------------------------------------------------------------------
+
+    def _read_view(self, scene, idx, rng) -> dict:
+        conf = self.conf
+        path = self.root / self.images[scene][idx]
+        K = self.intrinsics[scene][idx].astype(np.float32, copy=False)
+        T = self.poses[scene][idx].astype(np.float32, copy=False)
+
+        if conf.read_image:
+            img = read_image(path, conf.grayscale)
+        else:
+            import PIL.Image
+
+            size = PIL.Image.open(path).size[::-1]
+            img = np.zeros((size[0], size[1], 1 if conf.grayscale else 3), np.float32)
+
+        depth = None
+        if conf.read_depth:
+            depth_path = self.root / conf.depth_subpath / scene / (path.stem + ".h5")
+            with h5py.File(str(depth_path), "r") as f:
+                depth = f["/depth"][...].astype(np.float32)
+
+        # +/- 90 degree rotation augmentation (reference megadepth.py:279-326)
+        k_rot = 0
+        if conf.p_rotate > 0.0 and self.split == "train" and rng.random() < conf.p_rotate:
+            k_rot = int(rng.choice(2)) * 2 - 1  # -1 or +1
+            img = np.rot90(img, k=-k_rot, axes=(0, 1)).copy()
+            if depth is not None:
+                depth = np.rot90(depth, k=-k_rot, axes=(0, 1)).copy()
+            K = rotate_intrinsics(K, (img.shape[0], img.shape[1]), k_rot + 2)
+            T = rotate_pose_inplane(T, k_rot + 2)
+
+        data = self.preprocessor(img)
+        if depth is not None:
+            dproc = ImagePreprocessor(
+                dict(self.preprocessor.conf.to_dict(), interpolation="nearest", antialias=False)
+            )(depth[..., None])
+            data["depth"] = dproc["image"][..., 0]
+        K = scale_intrinsics(K, data["scales"])
+        data["name"] = path.name
+        data["scene"] = scene
+        data["T_w2cam"] = T
+        data["camera"] = camera_dict_from_K(
+            K, data["image_size"][0], data["image_size"][1]
+        )
+
+        if self.feature_loader is not None:
+            features = self.feature_loader({**data, "scene": scene, "name": path.name})
+            if k_rot != 0 and "keypoints" in features:
+                kpts = features["keypoints"].copy()
+                x, y = kpts[..., 0].copy(), kpts[..., 1].copy()
+                w, h = data["image_size"]
+                if k_rot == 1:
+                    kpts[..., 0] = w - y
+                    kpts[..., 1] = x
+                else:
+                    kpts[..., 0] = y
+                    kpts[..., 1] = h - x
+                features["keypoints"] = kpts
+            data["cache"] = features
+        return data
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        if self.conf.reseed:
+            with fork_rng(self.conf.seed + idx):
+                return self.getitem(idx)
+        return self.getitem(idx)
+
+    def getitem(self, idx):
+        conf = self.conf
+        rng = np.random.default_rng((conf.seed, idx))
+        if conf.views == 3:
+            scene, idx0, idx1, idx2, ov01, ov02, ov12 = self.items[idx]
+            data0 = self._read_view(scene, idx0, rng)
+            data1 = self._read_view(scene, idx1, rng)
+            data2 = self._read_view(scene, idx2, rng)
+            data = {"view0": data0, "view1": data1, "view2": data2}
+            for a, b, key in ((0, 1, "0to1"), (0, 2, "0to2"), (1, 2, "1to2")):
+                data[f"T_{key}"] = compose_pose(
+                    data[f"view{b}"]["T_w2cam"], invert_pose(data[f"view{a}"]["T_w2cam"])
+                )
+            data["overlap_0to1"] = ov01
+            data["overlap_0to2"] = ov02
+            data["overlap_1to2"] = ov12
+            data["name"] = f"{scene}/{data0['name']}_{data1['name']}_{data2['name']}"
+        elif conf.views == 2:
+            if isinstance(idx, tuple):
+                scene, idx0, idx1, overlap = idx
+            else:
+                scene, idx0, idx1, overlap = self.items[idx]
+            data0 = self._read_view(scene, idx0, rng)
+            data1 = self._read_view(scene, idx1, rng)
+            data = {"view0": data0, "view1": data1}
+            data["T_0to1"] = compose_pose(
+                data1["T_w2cam"], invert_pose(data0["T_w2cam"])
+            )
+            data["overlap_0to1"] = overlap
+            data["name"] = f"{scene}/{data0['name']}_{data1['name']}"
+        else:
+            scene, idx0 = self.items[idx]
+            data = self._read_view(scene, idx0, rng)
+            data["name"] = f"{scene}/{data['name']}"
+        data["scene"] = scene
+        data["idx"] = idx if isinstance(idx, int) else 0
+        return data
+
+    def sample_new_items_hook(self, seed):
+        self.sample_new_items(seed)
