@@ -1,0 +1,172 @@
+"""Wireframe extractor: compose a point extractor + line detector into
+GlueStick's input format (role of reference `models/lines/wireframe.py:22-313`).
+
+Steps:
+  1. run the point extractor with dense descriptor outputs (device);
+  2. detect line segments (host callback, see `lsd.py`);
+  3. cluster line endpoints into junctions within `nms_radius` (host callback
+     — greedy single-linkage, replacing sklearn DBSCAN) and build
+     `lines_junc_idx`;
+  4. mask out keypoints that fall near junctions (device);
+  5. node list = [junction slots][keypoint slots] (GlueStick's convention:
+     junction nodes FIRST), junction descriptors sampled from the dense map.
+
+All shapes static: `2 * max_num_lines` junction slots + K keypoint slots,
+with validity masks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.grid_sample import sample_descriptors
+from .. import get_model
+from ..base_model import BaseModel
+from .lsd import detect_lsd_host
+
+
+def cluster_endpoints_host(lines: np.ndarray, valid: np.ndarray, radius: float):
+    """Greedy single-linkage clustering of line endpoints.
+
+    lines (L, 2, 2), valid (L,). Returns (junctions (J_max, 2),
+    junc_scores (J_max,), junc_valid (J_max,), lines_junc_idx (L, 2)).
+    J_max = 2 * L (static worst case: no merging).
+    """
+    L = lines.shape[0]
+    J_max = 2 * L
+    endpoints = lines.reshape(-1, 2)  # (2L, 2)
+    ep_valid = np.repeat(valid, 2)
+    junctions = np.zeros((J_max, 2), np.float32)
+    counts = np.zeros(J_max, np.int64)
+    junc_valid = np.zeros(J_max, bool)
+    assign = np.zeros(2 * L, np.int64)
+    n_j = 0
+    r2 = radius * radius
+    for e in range(2 * L):
+        if not ep_valid[e]:
+            assign[e] = 0
+            continue
+        p = endpoints[e]
+        if n_j > 0:
+            d2 = ((junctions[:n_j] - p) ** 2).sum(-1)
+            j = int(np.argmin(d2))
+            if d2[j] <= r2:
+                # merge: running mean
+                junctions[j] = (junctions[j] * counts[j] + p) / (counts[j] + 1)
+                counts[j] += 1
+                assign[e] = j
+                continue
+        junctions[n_j] = p
+        counts[n_j] = 1
+        junc_valid[n_j] = True
+        assign[e] = n_j
+        n_j += 1
+    return junctions, counts.astype(np.float32), junc_valid, assign.reshape(L, 2)
+
+
+def wireframe_host(images: np.ndarray, max_lines: int, min_length: float, radius: float):
+    """Full host side: LSD + endpoint clustering, batched."""
+    lines, scores, valid = detect_lsd_host(images, max_lines, min_length)
+    B, L = scores.shape
+    J = 2 * L
+    junctions = np.zeros((B, J, 2), np.float32)
+    junc_counts = np.zeros((B, J), np.float32)
+    junc_valid = np.zeros((B, J), bool)
+    junc_idx = np.zeros((B, L, 2), np.int32)
+    for b in range(B):
+        junctions[b], junc_counts[b], junc_valid[b], junc_idx[b] = (
+            cluster_endpoints_host(lines[b], valid[b], radius)
+        )
+    return lines, scores, valid, junctions, junc_counts, junc_valid, junc_idx
+
+
+class WireframeExtractor(BaseModel):
+    default_conf = {
+        "point_extractor": {
+            "name": "superpoint",
+            "dense_outputs": True,
+            "max_num_keypoints": 1000,
+            "force_num_keypoints": False,
+            "trainable": False,
+        },
+        "max_num_lines": 250,
+        "min_length": 15.0,
+        "nms_radius": 3.0,  # junction merge radius & kpt removal radius
+        "trainable": False,
+    }
+    required_data_keys = ["image"]
+    strict_conf = False
+
+    def setup(self):
+        pconf = self.conf.point_extractor
+        cls = get_model(pconf.name)
+        sub = {k: v for k, v in pconf.to_dict().items() if k != "name"}
+        sub["dense_outputs"] = True
+        self.point_extractor = cls.from_conf(sub)
+
+    def _forward(self, data: dict, train: bool = False) -> dict:
+        c = self.conf
+        image = data["image"]
+        B = image.shape[0]
+        L = int(c.max_num_lines)
+        J = 2 * L
+
+        ppred = self.point_extractor(data, train=train)
+        kpts = ppred["keypoints"]  # (B, K, 2)
+        K = kpts.shape[1]
+
+        shapes = (
+            jax.ShapeDtypeStruct((B, L, 2, 2), jnp.float32),  # lines
+            jax.ShapeDtypeStruct((B, L), jnp.float32),  # line scores
+            jax.ShapeDtypeStruct((B, L), jnp.bool_),  # line mask
+            jax.ShapeDtypeStruct((B, J, 2), jnp.float32),  # junctions
+            jax.ShapeDtypeStruct((B, J), jnp.float32),  # junction counts
+            jax.ShapeDtypeStruct((B, J), jnp.bool_),  # junction mask
+            jax.ShapeDtypeStruct((B, L, 2), jnp.int32),  # lines_junc_idx
+        )
+        (lines, line_scores, line_mask, junctions, junc_counts, junc_mask, junc_idx) = (
+            jax.pure_callback(
+                lambda img: wireframe_host(
+                    np.asarray(img), L, float(c.min_length), float(c.nms_radius)
+                ),
+                shapes,
+                image,
+            )
+        )
+
+        # mask keypoints that fall near a junction (reference wireframe.py:186-216)
+        d2 = (
+            (kpts[:, :, None, :] - junctions[:, None, :, :]) ** 2
+        ).sum(-1)  # (B, K, J)
+        d2 = jnp.where(junc_mask[:, None, :], d2, jnp.inf)
+        near = d2.min(-1) < c.nms_radius**2
+        kpt_mask = ppred["keypoint_mask"] & ~near
+
+        # junction descriptors from the dense map; junction score from counts
+        dense = ppred["dense_descriptors"]  # (B, Hc, Wc, D)
+        junc_desc = sample_descriptors(junctions, dense, stride=8)
+        junc_scores = junc_counts / jnp.maximum(junc_counts.max(axis=-1, keepdims=True), 1.0)
+        junc_scores = junc_scores * junc_mask
+
+        # node list: junctions first (GlueStick convention), then keypoints
+        all_kpts = jnp.concatenate([junctions, kpts], axis=1)
+        all_scores = jnp.concatenate([junc_scores, ppred["keypoint_scores"]], axis=1)
+        all_desc = jnp.concatenate([junc_desc, ppred["descriptors"]], axis=1)
+        all_mask = jnp.concatenate([junc_mask, kpt_mask], axis=1)
+
+        return {
+            "keypoints": all_kpts,
+            "keypoint_scores": all_scores,
+            "descriptors": all_desc,
+            "keypoint_mask": all_mask,
+            "lines": lines,
+            "line_scores": line_scores,
+            "line_mask": line_mask,
+            "lines_junc_idx": junc_idx.astype(jnp.int32),
+            "orig_lines": lines,
+        }
+
+    def loss(self, pred, data):
+        raise NotImplementedError

@@ -54,8 +54,8 @@ class DepthMatcher(BaseModel):
             lout = gt_line_matches_from_pose_depth(
                 data["lines0"],
                 data["lines1"],
-                data["valid_lines0"],
-                data["valid_lines1"],
+                data["line_mask0"],
+                data["line_mask1"],
                 data["view0"]["camera"],
                 data["view1"]["camera"],
                 data["T_0to1"],

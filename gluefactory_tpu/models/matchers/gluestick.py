@@ -1,0 +1,264 @@
+"""GlueStick: joint point + line matcher, TPU-native re-design.
+
+Capability parity with reference `models/matchers/gluestick.py:25-787`:
+keypoint encoder + line endpoint encoder (endpoints, offsets, score), 18-layer
+self/cross attentional GNN where every *self* layer is followed by a LineLayer
+passing messages along the wireframe (gather endpoint descriptors, MLP,
+scatter-mean back onto junction nodes), dual-softmax assignment with learned
+dustbins separately for points and for lines (line scores from junction
+descriptor pairs, max over the two endpoint orderings), NLL losses per
+sub-assignment.
+
+TPU-first: all sets are padded + masked (`keypoint_mask`, `line_mask`);
+wireframe scatter uses `jax.ops.segment_sum` with static segment counts;
+node convention matches the reference — line-junction nodes FIRST in the
+node list, `lines_junc_idx (B, L, 2)` indexes into it.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.assignment import NEG_INF, log_double_softmax
+from ...ops.attention import mha
+from ..base_model import BaseModel
+from .lightglue import normalize_keypoints
+from .superglue import MLP, AttentionalPropagation
+
+
+class EndPtEncoder(nn.Module):
+    """Line endpoint encoder: (endpoint(2), offset-to-other(2), score) -> d
+    (reference `gluestick.py:502-521`)."""
+
+    dim: int
+    layers: tuple
+
+    @nn.compact
+    def __call__(self, endpoints, scores, train: bool = False):
+        # endpoints (B, L, 2, 2) normalized, scores (B, L)
+        B, L = endpoints.shape[:2]
+        offset = endpoints[:, :, 1] - endpoints[:, :, 0]  # (B, L, 2)
+        offsets = jnp.stack([offset, -offset], axis=2)  # (B, L, 2, 2)
+        inputs = jnp.concatenate(
+            [
+                endpoints.reshape(B, 2 * L, 2),
+                offsets.reshape(B, 2 * L, 2),
+                jnp.tile(scores[:, :, None], (1, 1, 2)).reshape(B, 2 * L)[..., None],
+            ],
+            axis=-1,
+        )  # (B, 2L, 5)
+        return MLP(tuple(self.layers) + (self.dim,), name="encoder")(inputs, train=train)
+
+
+class LineLayer(nn.Module):
+    """Wireframe message passing (reference `gluestick.py:589-691`, mean mode).
+
+    For each line endpoint e at node j: message = MLP([desc_j, desc_partner,
+    line_enc_e]); node update = mean of messages of all endpoints at j.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, line_enc, junc_idx, line_mask=None, train: bool = False):
+        # x (B, N, D); line_enc (B, 2L, D); junc_idx (B, 2L) int
+        B, N, D = x.shape
+        L2 = junc_idx.shape[1]
+        desc = jnp.take_along_axis(x, junc_idx[..., None], axis=1)  # (B, 2L, D)
+        partner = desc.reshape(B, L2 // 2, 2, D)[:, :, ::-1].reshape(B, L2, D)
+        message = jnp.concatenate([desc, partner, line_enc], axis=-1)
+        message = MLP((2 * self.dim, self.dim), name="mlp")(message, train=train)
+        if line_mask is not None:
+            w = jnp.repeat(line_mask, 2, axis=-1).astype(x.dtype)  # (B, 2L)
+        else:
+            w = jnp.ones((B, L2), x.dtype)
+        message = message * w[..., None]
+
+        def scatter(one_msg, one_idx, one_w):
+            summed = jax.ops.segment_sum(one_msg, one_idx, num_segments=N)
+            count = jax.ops.segment_sum(one_w, one_idx, num_segments=N)
+            return summed / jnp.maximum(count, 1.0)[..., None]
+
+        update = jax.vmap(scatter)(message, junc_idx, w)
+        return x + update
+
+
+class GlueStick(BaseModel):
+    default_conf = {
+        "input_dim": 256,
+        "descriptor_dim": 256,
+        "weights": None,
+        "keypoint_encoder": [32, 64, 128, 256],
+        "n_layers": 9,  # pairs of (self+line, cross)
+        "num_heads": 4,
+        "num_line_iterations": 1,
+        "filter_threshold": 0.2,
+        "checkpointed": False,
+        "loss": {"nll_weight": 1.0, "nll_balancing": 0.5, "line_nll_weight": 1.0},
+    }
+    required_data_keys = [
+        "keypoints0", "keypoints1", "descriptors0", "descriptors1",
+        "keypoint_scores0", "keypoint_scores1",
+        "lines0", "lines1", "lines_junc_idx0", "lines_junc_idx1",
+        "line_scores0", "line_scores1",
+    ]
+
+    def setup(self):
+        c = self.conf
+        d = c.descriptor_dim
+        if c.input_dim != d:
+            self.input_proj = nn.Dense(d, name="input_proj")
+        self.kenc = MLP(tuple(list(c.keypoint_encoder) + [d]), name="kenc")
+        self.lenc = EndPtEncoder(d, tuple(c.keypoint_encoder), name="lenc")
+        layer_cls = nn.remat(AttentionalPropagation) if c.checkpointed else AttentionalPropagation
+        self.gnn_layers = [
+            layer_cls(d, c.num_heads, name=f"gnn_{i}") for i in range(2 * c.n_layers)
+        ]
+        self.line_layers = [
+            LineLayer(d, name=f"line_layer_{i}") for i in range(c.n_layers)
+        ]
+        self.final_proj = nn.Dense(d, name="final_proj")
+        self.final_line_proj = nn.Dense(d, name="final_line_proj")
+        self.bin_score = self.param("bin_score", lambda k: jnp.asarray(1.0))
+        self.line_bin_score = self.param("line_bin_score", lambda k: jnp.asarray(1.0))
+
+    def _forward(self, data: dict, train: bool = False) -> dict:
+        c = self.conf
+        kpts0, kpts1 = data["keypoints0"], data["keypoints1"]
+        desc0, desc1 = data["descriptors0"], data["descriptors1"]
+        mask0 = data.get("keypoint_mask0")
+        mask1 = data.get("keypoint_mask1")
+        lmask0 = data.get("line_mask0")
+        lmask1 = data.get("line_mask1")
+        size0 = data["view0"]["image_size"] if "view0" in data else data["image_size0"]
+        size1 = data["view1"]["image_size"] if "view1" in data else data["image_size1"]
+        B, L0 = data["lines0"].shape[:2]
+        L1 = data["lines1"].shape[1]
+
+        junc_idx0 = data["lines_junc_idx0"].reshape(B, 2 * L0).astype(jnp.int32)
+        junc_idx1 = data["lines_junc_idx1"].reshape(B, 2 * L1).astype(jnp.int32)
+
+        if c.input_dim != c.descriptor_dim:
+            desc0 = self.input_proj(desc0)
+            desc1 = self.input_proj(desc1)
+
+        p0 = normalize_keypoints(kpts0, size0)
+        p1 = normalize_keypoints(kpts1, size1)
+        x0 = desc0 + self.kenc(
+            jnp.concatenate([p0, data["keypoint_scores0"][..., None]], -1), train=train
+        )
+        x1 = desc1 + self.kenc(
+            jnp.concatenate([p1, data["keypoint_scores1"][..., None]], -1), train=train
+        )
+
+        lines0_n = normalize_keypoints(
+            data["lines0"].reshape(B, 2 * L0, 2), size0
+        ).reshape(B, L0, 2, 2)
+        lines1_n = normalize_keypoints(
+            data["lines1"].reshape(B, 2 * L1, 2), size1
+        ).reshape(B, L1, 2, 2)
+        line_enc0 = self.lenc(lines0_n, data["line_scores0"], train=train)
+        line_enc1 = self.lenc(lines1_n, data["line_scores1"], train=train)
+
+        for i in range(2 * c.n_layers):
+            layer = self.gnn_layers[i]
+            if i % 2 == 0:  # self + line message passing
+                x0 = layer(x0, x0, mask0, mask0, train)
+                x1 = layer(x1, x1, mask1, mask1, train)
+                ll = self.line_layers[i // 2]
+                for _ in range(c.num_line_iterations):
+                    x0 = ll(x0, line_enc0, junc_idx0, lmask0, train)
+                    x1 = ll(x1, line_enc1, junc_idx1, lmask1, train)
+            else:  # cross
+                x0_new = layer(x0, x1, mask0, mask1, train)
+                x1 = layer(x1, x0, mask1, mask0, train)
+                x0 = x0_new
+
+        pred = {}
+        # point assignment: dual softmax with dustbin
+        mdesc0 = self.final_proj(x0)
+        mdesc1 = self.final_proj(x1)
+        kp_scores = jnp.einsum(
+            "bnd,bmd->bnm", mdesc0, mdesc1, preferred_element_type=jnp.float32
+        ) / c.descriptor_dim**0.5
+        kp_scores = log_double_softmax(kp_scores, self.bin_score, mask0, mask1)
+        from ...ops.assignment import filter_matches
+
+        m0, m1, ms0, ms1 = filter_matches(kp_scores, c.filter_threshold, mask0, mask1)
+        pred.update(
+            log_assignment=kp_scores, matches0=m0, matches1=m1,
+            matching_scores0=ms0, matching_scores1=ms1,
+        )
+
+        # line assignment from junction descriptors
+        line_scores, lm0, lm1, lms0, lms1, raw = self._line_matches(
+            x0, x1, junc_idx0, junc_idx1, lmask0, lmask1
+        )
+        pred.update(
+            line_log_assignment=line_scores, line_matches0=lm0, line_matches1=lm1,
+            line_matching_scores0=lms0, line_matching_scores1=lms1,
+            raw_line_scores=raw,
+        )
+        return pred
+
+    def _line_matches(self, x0, x1, junc_idx0, junc_idx1, lmask0, lmask1):
+        c = self.conf
+        mld0 = self.final_line_proj(jnp.take_along_axis(x0, junc_idx0[..., None], axis=1))
+        mld1 = self.final_line_proj(jnp.take_along_axis(x1, junc_idx1[..., None], axis=1))
+        B, L20, D = mld0.shape
+        L0, L1 = L20 // 2, mld1.shape[1] // 2
+        s = jnp.einsum("bnd,bmd->bnm", mld0, mld1, preferred_element_type=jnp.float32)
+        s = s / c.descriptor_dim**0.5
+        s = s.reshape(B, L0, 2, L1, 2)
+        raw = 0.5 * jnp.maximum(
+            s[:, :, 0, :, 0] + s[:, :, 1, :, 1], s[:, :, 0, :, 1] + s[:, :, 1, :, 0]
+        )
+        line_scores = log_double_softmax(raw, self.line_bin_score, lmask0, lmask1)
+        from ...ops.assignment import filter_matches
+
+        lm0, lm1, lms0, lms1 = filter_matches(
+            line_scores, c.filter_threshold, lmask0, lmask1
+        )
+        return line_scores, lm0, lm1, lms0, lms1, raw
+
+    # ------------------------------------------------------------------
+
+    def _nll(self, scores, gt_assignment, gt_m0, gt_m1):
+        M, N = gt_assignment.shape[1], gt_assignment.shape[2]
+        gt = gt_assignment.astype(scores.dtype)
+        num_pos = jnp.maximum(gt.sum((-1, -2)), 1.0)
+        nll_pos = -(scores[:, :M, :N] * gt).sum((-1, -2)) / num_pos
+        neg0 = (gt_m0 == -1).astype(scores.dtype)
+        neg1 = (gt_m1 == -1).astype(scores.dtype)
+        num_neg = jnp.maximum(neg0.sum(-1) + neg1.sum(-1), 1.0)
+        nll_neg = -(
+            (scores[:, :M, N] * neg0).sum(-1) + (scores[:, M, :N] * neg1).sum(-1)
+        ) / num_neg
+        b = self.conf.loss.nll_balancing
+        return b * nll_pos + (1.0 - b) * nll_neg
+
+    def loss(self, pred: dict, data: dict):
+        c = self.conf
+        nll_pts = self._nll(
+            pred["log_assignment"],
+            data["gt_assignment"],
+            data["gt_matches0"],
+            data["gt_matches1"],
+        )
+        total = c.loss.nll_weight * nll_pts
+        losses = {"nll_points": nll_pts}
+        if "gt_line_assignment" in data:
+            nll_lines = self._nll(
+                pred["line_log_assignment"],
+                data["gt_line_assignment"],
+                data["gt_line_matches0"],
+                data["gt_line_matches1"],
+            )
+            losses["nll_lines"] = nll_lines
+            total = total + c.loss.line_nll_weight * nll_lines
+        from .lightglue import LightGlue
+
+        metrics = LightGlue.matcher_metrics(pred, data)
+        return {**losses, "total": total}, metrics

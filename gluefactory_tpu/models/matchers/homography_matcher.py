@@ -45,8 +45,8 @@ class HomographyMatcher(BaseModel):
             lout = gt_line_matches_from_homography(
                 data["lines0"],
                 data["lines1"],
-                data["valid_lines0"],
-                data["valid_lines1"],
+                data["line_mask0"],
+                data["line_mask1"],
                 data["H_0to1"],
                 n_samples=self.conf.n_line_sampled_pts,
                 perp_dist_th=self.conf.line_perp_dist_th,
