@@ -251,6 +251,59 @@ def eval_homography_dlt(data: dict, pred: dict) -> dict:
     return {"H_error_dlt": float(error)}
 
 
+IGNORE_FEATURE = -2
+
+
+def get_tp_fp_pts(pred_matches, gt_matches, pred_scores):
+    """TP/FP/scores/num positives for a set of matches (reference
+    `eval/utils.py:292-310`)."""
+    pred_matches = np.asarray(pred_matches)
+    gt_matches = np.asarray(gt_matches)
+    pred_scores = np.asarray(pred_scores)
+    ignore_mask = gt_matches != IGNORE_FEATURE
+    pred_matches, gt_matches, pred_scores = (
+        pred_matches[ignore_mask],
+        gt_matches[ignore_mask],
+        pred_scores[ignore_mask],
+    )
+    num_pos = int(np.sum(gt_matches != -1))
+    pred_positives = pred_matches != -1
+    tp = pred_matches[pred_positives] == gt_matches[pred_positives]
+    fp = pred_matches[pred_positives] != gt_matches[pred_positives]
+    scores = pred_scores[pred_positives]
+    return tp, fp, scores, num_pos
+
+
+def AP(tp, fp):
+    """11-free interpolated average precision (reference `eval/utils.py:313-323`)."""
+    recall = tp
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    recall = np.concatenate(([0.0], recall, [1.0]))
+    precision = np.concatenate(([0.0], precision, [0.0]))
+    for i in range(precision.size - 1, 0, -1):
+        precision[i - 1] = max(precision[i - 1], precision[i])
+    i = np.where(recall[1:] != recall[:-1])[0]
+    return float(np.sum((recall[i + 1] - recall[i]) * precision[i + 1]))
+
+
+def aggregate_pr_results(results: dict, suffix: str = "") -> dict:
+    """Aggregate per-pair TP/FP lists into PR curves + AP
+    (reference `eval/utils.py:326-337`)."""
+    tp_list = np.concatenate(results["tp" + suffix], axis=0)
+    fp_list = np.concatenate(results["fp" + suffix], axis=0)
+    scores_list = np.concatenate(results["scores" + suffix], axis=0)
+    n_gt = max(results["num_pos" + suffix], 1)
+
+    out = {}
+    idx = np.argsort(scores_list)[::-1]
+    tp_vals = np.cumsum(tp_list[idx]) / n_gt
+    fp_vals = np.cumsum(fp_list[idx]) / n_gt
+    out["curve_recall" + suffix] = tp_vals
+    out["curve_precision" + suffix] = tp_vals / np.maximum(tp_vals + fp_vals, 1e-9)
+    out["AP" + suffix] = AP(tp_vals, fp_vals) * 100
+    return out
+
+
 def eval_poses(pose_results: dict, auc_ths: list, key: str, unit: str = "°") -> dict:
     """Select the best RANSAC threshold by mAA and compute pose AUCs
     (reference `eval/utils.py:264-289`).

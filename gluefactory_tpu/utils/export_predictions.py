@@ -36,23 +36,57 @@ def unscale_keypoints(pred: dict, data_i: dict) -> dict:
     return out
 
 
+def _index_remap(mask: np.ndarray) -> np.ndarray:
+    """old index -> new index after dropping masked entries (-1 for dropped)."""
+    remap = np.full(len(mask), -1, np.int64)
+    remap[mask] = np.arange(int(mask.sum()))
+    return remap
+
+
+def _remap_matches(matches: np.ndarray, remap_other: np.ndarray) -> np.ndarray:
+    """Remap match target indices after the other view was trimmed;
+    special values (-1 unmatched, -2 ignore) pass through."""
+    out = matches.copy()
+    valid = matches >= 0
+    out[valid] = remap_other[matches[valid]]
+    return out
+
+
 def trim_masked(pred: dict) -> dict:
-    """Drop padded entries using keypoint/line masks; removes the masks."""
+    """Drop padded entries using keypoint/line masks (removing the masks) and
+    remap cross-view match indices so they stay consistent."""
     out = dict(pred)
-    for i in ("0", "1"):
-        mask = out.pop(f"keypoint_mask{i}", None)
+    masks = {i: out.pop(f"keypoint_mask{i}", None) for i in ("0", "1")}
+    lmasks = {i: out.pop(f"line_mask{i}", None) for i in ("0", "1")}
+    masks = {i: None if m is None else np.asarray(m).astype(bool) for i, m in masks.items()}
+    lmasks = {i: None if m is None else np.asarray(m).astype(bool) for i, m in lmasks.items()}
+    for i, other in (("0", "1"), ("1", "0")):
+        mask = masks[i]
         if mask is None:
             continue
-        mask = np.asarray(mask).astype(bool)
+        # remap match targets into the other view's trimmed indexing
+        if masks[other] is not None:
+            remap_other = _index_remap(masks[other])
+            for key in (f"matches{i}", f"gt_matches{i}"):
+                if key in out:
+                    out[key] = _remap_matches(np.asarray(out[key]), remap_other)
         for key in (f"keypoints{i}", f"keypoint_scores{i}", f"descriptors{i}",
-                    f"matches{i}", f"matching_scores{i}", f"scales{i}", f"oris{i}"):
+                    f"matches{i}", f"gt_matches{i}", f"matching_scores{i}",
+                    f"scales{i}", f"oris{i}"):
             if key in out and np.asarray(out[key]).shape[:1] == mask.shape:
                 out[key] = np.asarray(out[key])[mask]
-        lmask = out.pop(f"line_mask{i}", None)
+        lmask = lmasks[i]
         if lmask is not None:
-            for key in (f"lines{i}", f"line_scores{i}"):
-                if key in out:
-                    out[key] = np.asarray(out[key])[np.asarray(lmask).astype(bool)]
+            if lmasks[other] is not None:
+                remap_lother = _index_remap(lmasks[other])
+                for key in (f"line_matches{i}", f"gt_line_matches{i}"):
+                    if key in out:
+                        out[key] = _remap_matches(np.asarray(out[key]), remap_lother)
+            for key in (f"lines{i}", f"line_scores{i}", f"orig_lines{i}",
+                        f"line_matches{i}", f"gt_line_matches{i}",
+                        f"line_matching_scores{i}"):
+                if key in out and np.asarray(out[key]).shape[:1] == lmask.shape:
+                    out[key] = np.asarray(out[key])[lmask]
     return out
 
 
