@@ -24,8 +24,8 @@ def unscale_keypoints(pred: dict, data_i: dict) -> dict:
     """Rescale kpts/lines from processed to original resolution using the
     per-view `scales` (reference `export_predictions.py:44-62`)."""
     out = dict(pred)
-    for i in ("0", "1"):
-        view = data_i.get(f"view{i}", {})
+    for i in ("0", "1", ""):
+        view = data_i.get(f"view{i}", data_i if i == "" else {})
         scales = view.get("scales")
         if scales is None:
             continue
@@ -56,6 +56,19 @@ def trim_masked(pred: dict) -> dict:
     """Drop padded entries using keypoint/line masks (removing the masks) and
     remap cross-view match indices so they stay consistent."""
     out = dict(pred)
+    # unsuffixed single-view features (feature-export path)
+    mask_u = out.pop("keypoint_mask", None)
+    if mask_u is not None:
+        mask_u = np.asarray(mask_u).astype(bool)
+        for key in ("keypoints", "keypoint_scores", "descriptors", "scales", "oris"):
+            if key in out and np.asarray(out[key]).shape[:1] == mask_u.shape:
+                out[key] = np.asarray(out[key])[mask_u]
+    lmask_u = out.pop("line_mask", None)
+    if lmask_u is not None:
+        lmask_u = np.asarray(lmask_u).astype(bool)
+        for key in ("lines", "line_scores", "orig_lines"):
+            if key in out and np.asarray(out[key]).shape[:1] == lmask_u.shape:
+                out[key] = np.asarray(out[key])[lmask_u]
     masks = {i: out.pop(f"keypoint_mask{i}", None) for i in ("0", "1")}
     lmasks = {i: out.pop(f"line_mask{i}", None) for i in ("0", "1")}
     masks = {i: None if m is None else np.asarray(m).astype(bool) for i, m in masks.items()}
@@ -110,7 +123,7 @@ def export_predictions(
             # unbatch
             pred = map_tensor(pred, lambda x: np.asarray(x)[0])
             data_i = map_tensor(
-                {k: v for k, v in batch.items() if k.startswith("view")},
+                {k: v for k, v in batch.items() if k.startswith("view") or k == "scales"},
                 lambda x: np.asarray(x)[0],
             )
             if keys != "*":
