@@ -224,14 +224,24 @@ class LightGlue(BaseModel):
         enc0 = self.posenc(p0)
         enc1 = self.posenc(p1)
 
-        all_desc0, all_desc1 = [], []
-        for i in range(c.n_layers):
-            desc0, desc1 = self.transformers[i](desc0, desc1, enc0, enc1, mask0, mask1)
-            if train:
-                all_desc0.append(desc0)
-                all_desc1.append(desc1)
-
-        scores, sim, z0, z1 = self.log_assignment[c.n_layers - 1](desc0, desc1, mask0, mask1)
+        do_prune = not train and (c.depth_confidence > 0 or c.width_confidence > 0)
+        if do_prune:
+            scores, prune0, prune1 = self._pruned_forward(
+                desc0, desc1, enc0, enc1, mask0, mask1
+            )
+            all_desc0, all_desc1 = [], []
+        else:
+            all_desc0, all_desc1 = [], []
+            for i in range(c.n_layers):
+                desc0, desc1 = self.transformers[i](
+                    desc0, desc1, enc0, enc1, mask0, mask1
+                )
+                if train:
+                    all_desc0.append(desc0)
+                    all_desc1.append(desc1)
+            scores, sim, z0, z1 = self.log_assignment[c.n_layers - 1](
+                desc0, desc1, mask0, mask1
+            )
         m0, m1, mscores0, mscores1 = filter_matches(scores, c.filter_threshold, mask0, mask1)
 
         pred = {
@@ -244,7 +254,84 @@ class LightGlue(BaseModel):
         if train:
             pred["ref_descriptors0"] = jnp.stack(all_desc0, axis=1)  # (B, L, M, D)
             pred["ref_descriptors1"] = jnp.stack(all_desc1, axis=1)
+        if do_prune:
+            pred["prune0"] = prune0
+            pred["prune1"] = prune1
         return pred
+
+    def _confidence_threshold(self, layer_index: int) -> float:
+        """Per-layer confidence threshold (reference `lightglue.py:540-544`)."""
+        import math
+
+        return min(0.8 + 0.1 * math.exp(-4.0 * layer_index / self.conf.n_layers), 1.0)
+
+    def _pruned_forward(self, desc0, desc1, enc0, enc1, mask0, mask1):
+        """Adaptive depth + width pruning, masked static-shape realization of
+        reference `lightglue.py:461-526` (an eager, batch-1 inference path).
+
+        - width pruning: confidently-unmatchable tokens get their active mask
+          cleared (the reference gathers a smaller tensor; masking is the
+          XLA-native equivalent — excluded from attention, descriptors frozen);
+        - depth pruning: once enough tokens are confident, an item "exits" —
+          its descriptors freeze and its assignment is taken from the exit
+          layer. Exact output parity with the reference for batch size 1.
+        """
+        c = self.conf
+        B, M, _ = desc0.shape
+        N = desc1.shape[1]
+        active0 = mask0 if mask0 is not None else jnp.ones((B, M), bool)
+        active1 = mask1 if mask1 is not None else jnp.ones((B, N), bool)
+        prune0 = jnp.zeros((B, M), jnp.int32)  # exit layer per token
+        prune1 = jnp.zeros((B, N), jnp.int32)
+        stopped = jnp.zeros((B,), bool)
+        final_scores = jnp.full((B, M + 1, N + 1), -jnp.inf, desc0.dtype)
+
+        for i in range(c.n_layers):
+            nd0, nd1 = self.transformers[i](desc0, desc1, enc0, enc1, active0, active1)
+            desc0 = jnp.where(stopped[:, None, None], desc0, nd0)
+            desc1 = jnp.where(stopped[:, None, None], desc1, nd1)
+            scores_i, sim_i, z0_i, z1_i = self.log_assignment[i](
+                desc0, desc1, active0, active1
+            )
+            last = i == c.n_layers - 1
+            if not last:
+                conf_th = self._confidence_threshold(i)
+                c0, c1 = self.token_confidence[i](desc0, desc1)
+                # depth pruning: stop when the confident ratio is high enough
+                if c.depth_confidence > 0:
+                    confident0 = (c0 > conf_th) | ~active0
+                    confident1 = (c1 > conf_th) | ~active1
+                    num = jnp.maximum(
+                        active0.sum(-1) + active1.sum(-1), 1
+                    ).astype(jnp.float32)
+                    ratio = (
+                        (confident0 & active0).sum(-1) + (confident1 & active1).sum(-1)
+                    ).astype(jnp.float32) / num
+                    stop_now = (ratio > c.depth_confidence) & ~stopped
+                else:
+                    stop_now = jnp.zeros((B,), bool)
+                final_scores = jnp.where(
+                    stop_now[:, None, None], scores_i, final_scores
+                )
+                stopped = stopped | stop_now
+                # width pruning: drop confidently-unmatchable tokens
+                if c.width_confidence > 0:
+                    keep0 = (jax.nn.sigmoid(z0_i) > (1.0 - c.width_confidence)) | (
+                        c0 <= conf_th
+                    )
+                    keep1 = (jax.nn.sigmoid(z1_i) > (1.0 - c.width_confidence)) | (
+                        c1 <= conf_th
+                    )
+                    new_active0 = active0 & jnp.where(stopped[:, None], active0, keep0)
+                    new_active1 = active1 & jnp.where(stopped[:, None], active1, keep1)
+                    prune0 = prune0 + (active0 & ~new_active0) * (i + 1)
+                    prune1 = prune1 + (active1 & ~new_active1) * (i + 1)
+                    active0, active1 = new_active0, new_active1
+            else:
+                final_scores = jnp.where(
+                    stopped[:, None, None], final_scores, scores_i
+                )
+        return final_scores, prune0, prune1
 
     def initialize(self, data: dict) -> dict:
         """Create ALL parameters, including the per-layer assignment heads and

@@ -35,6 +35,30 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndar
     return x * cos2 + rotate_half(x) * sin2
 
 
+_FLASH_ENABLED: bool = True
+
+
+def set_flash(enabled: bool):
+    """Globally toggle the fused Pallas attention kernel (TPU only)."""
+    global _FLASH_ENABLED
+    _FLASH_ENABLED = enabled
+
+
+def _use_flash(n: int, d: int) -> bool:
+    if not _FLASH_ENABLED:
+        return False
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return False
+        from .pallas_attention import attention_available
+
+        return attention_available(n, d)
+    except Exception:
+        return False
+
+
 def mha(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -46,7 +70,17 @@ def mha(
 
     q: (B, H, M, D), k/v: (B, H, N, D); masks: (B, M) / (B, N) bool, True=valid.
     Returns (B, H, M, D). Fully-masked query rows return zeros.
+
+    On TPU, routes through the fused Pallas kernel (`ops/pallas_attention.py`)
+    when the problem fits VMEM; the jnp path below is the reference semantics.
     """
+    if _use_flash(k.shape[2], q.shape[-1]):
+        from .pallas_attention import fused_attention
+
+        out = fused_attention(q, k, v, mask_k)
+        if mask_q is not None:
+            out = out * mask_q[:, None, :, None]
+        return out
     dtype = q.dtype
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
     logits = jnp.einsum("bhmd,bhnd->bhmn", q, k, preferred_element_type=jnp.float32)
@@ -78,6 +112,10 @@ def bidirectional_attention(
 
     qk0: (B, H, M, D), qk1: (B, H, N, D). Returns (m0 (B,H,M,D), m1 (B,H,N,D)).
     """
+    if _use_flash(max(qk0.shape[2], qk1.shape[2]), qk0.shape[-1]):
+        m0 = mha(qk0, qk1, v1, mask_q=mask0, mask_k=mask1)
+        m1 = mha(qk1, qk0, v0, mask_q=mask1, mask_k=mask0)
+        return m0, m1
     dtype = qk0.dtype
     scale = 1.0 / jnp.sqrt(jnp.asarray(qk0.shape[-1], jnp.float32))
     sim = jnp.einsum("bhmd,bhnd->bhmn", qk0, qk1, preferred_element_type=jnp.float32)

@@ -1,0 +1,47 @@
+"""Parity tests for the Pallas TPU kernels against the jnp reference
+implementations, run in interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gluefactory_tpu.ops.attention import mha
+from gluefactory_tpu.ops.pallas_attention import fused_attention
+
+
+def test_fused_attention_matches_reference():
+    rng = np.random.default_rng(0)
+    B, H, M, N, D = 2, 4, 96, 128, 64
+    q = jnp.asarray(rng.normal(size=(B, H, M, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    ref = mha(q, k, v)
+    out = fused_attention(q, k, v, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_masked():
+    rng = np.random.default_rng(1)
+    B, H, M, N, D = 1, 2, 64, 64, 32
+    q = jnp.asarray(rng.normal(size=(B, H, M, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    mask = np.ones((B, N), bool)
+    mask[:, 40:] = False
+    mask_j = jnp.asarray(mask)
+    ref = mha(q, k, v, mask_k=mask_j)
+    out = fused_attention(q, k, v, mask_j, block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_uneven_m():
+    """M not divisible by the q block: padding must be inert."""
+    rng = np.random.default_rng(2)
+    B, H, M, N, D = 1, 1, 50, 70, 32
+    q = jnp.asarray(rng.normal(size=(B, H, M, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    ref = mha(q, k, v)
+    out = fused_attention(q, k, v, block_q=32, interpret=True)
+    assert out.shape == (B, H, M, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
