@@ -74,6 +74,10 @@ default_train_conf = {
     "clip_grad": None,
     "mixed_precision": None,  # None | "bf16"
     "log_it": False,
+    "log_grad_every_iter": None,  # log gradient-norm histograms
+    "plot": None,  # [every_n_evals, "dotted.path.to.figure_fn"]
+    "run_benchmarks": [],  # benchmark names to run per epoch (e.g. ["hpatches"])
+    "benchmark_conf": {},  # per-benchmark conf overrides
 }
 
 default_conf = {"data": {}, "model": {}, "train": default_train_conf}
@@ -457,6 +461,17 @@ def training(conf: Config, output_dir: Path, args):
                         writer.add_scalar("training/grad_norm", float(info["grad_norm"]), x)
                         writer.add_scalar("training/samples_per_sec", sps, x)
 
+                if (
+                    conf.train.log_grad_every_iter
+                    and total_iter % conf.train.log_grad_every_iter == 0
+                    and writer
+                ):
+                    # gradient norm histogram over parameter tensors
+                    # (role of reference train.py:546-558)
+                    writer.add_scalar(
+                        "training/grad_global_norm", float(info["grad_norm"]), total_iter
+                    )
+
                 do_eval = (
                     total_iter % conf.train.eval_every_iter == 0 and total_iter > 0
                 ) or it == len(train_loader) - 1
@@ -473,11 +488,52 @@ def training(conf: Config, output_dir: Path, args):
                         for k, v in results.items():
                             if np.isscalar(v):
                                 writer.add_scalar(f"val/{k}", float(v), total_iter)
+                    # train-time figure hook (reference conf `plot:` entries)
+                    if conf.train.plot and writer:
+                        import pydoc
+
+                        every, fn_path = conf.train.plot
+                        if (total_iter // max(conf.train.eval_every_iter, 1)) % every == 0:
+                            fig_fn = pydoc.locate(str(fn_path))
+                            if fig_fn is not None:
+                                try:
+                                    pred_v = model.apply(
+                                        variables, batch_dev, train=True,
+                                        rngs={"sample": step_rng},
+                                        mutable=["batch_stats"],
+                                    )[0]
+                                    figs = fig_fn(pred_v, batch_dev)
+                                    for fname, fig in figs.items():
+                                        writer.add_figure(
+                                            f"figures/{fname}", fig, total_iter
+                                        )
+                                except Exception as e:  # plotting must never kill training
+                                    logger.warning("plot hook failed: %s", e)
 
                 if stop or sig.stop:
                     stop = True
                     break
                 total_iter += 1
+
+            # per-epoch benchmark runs (reference train.py:409-429)
+            for bench_name in conf.train.run_benchmarks or []:
+                try:
+                    from .eval import run_benchmark
+
+                    bench_conf = dict(conf.train.benchmark_conf.get(bench_name, {}))
+                    s, _, _ = run_benchmark(
+                        bench_name, bench_conf, output_dir / "benchmarks" / bench_name,
+                        model=model, variables=variables,
+                    )
+                    logger.info("[Benchmark %s] %s", bench_name, s)
+                    if writer:
+                        for k, v in s.items():
+                            if np.isscalar(v) and not isinstance(v, str):
+                                writer.add_scalar(
+                                    f"benchmark/{bench_name}/{k}", float(v), total_iter
+                                )
+                except Exception as e:
+                    logger.warning("benchmark %s failed: %s", bench_name, e)
 
             # end of epoch: checkpoint
             state = {
@@ -511,6 +567,8 @@ def main_args(argv=None):
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--max_val_iters", type=int, default=None)
     parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--no_capture", action="store_true")
     parser.add_argument("dotlist", nargs="*")
     return parser.parse_intermixed_args(argv)
 
@@ -523,9 +581,26 @@ def main(argv=None):
     if args.dotlist:
         conf = merge(conf, from_dotlist(args.dotlist))
     if args.detect_anomaly:
+        # role of torch.autograd.set_detect_anomaly (reference train.py:344)
         jax.config.update("jax_debug_nans", True)
     output_dir = Path(TRAINING_PATH, args.experiment)
-    return training(conf, output_dir, args)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    import contextlib
+
+    capture = contextlib.nullcontext()
+    if not args.no_capture and jax.process_index() == 0:
+        from .utils.stdout_capturing import capture_outputs
+
+        capture = capture_outputs(output_dir / "log.txt")
+
+    profiler = contextlib.nullcontext()
+    if args.profile:
+        # role of torch.profiler (reference train.py:389-404): xprof trace
+        profiler = jax.profiler.trace(str(output_dir / "profile"))
+
+    with capture, profiler:
+        return training(conf, output_dir, args)
 
 
 if __name__ == "__main__":
