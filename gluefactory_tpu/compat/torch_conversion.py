@@ -170,9 +170,139 @@ def convert_lightglue(sd: dict, n_layers: int = 9, dim: int = 256, num_heads: in
     return params
 
 
+# ---------------------------------------------------------------------------
+# SuperGlue (official MagicLeap superglue_{indoor,outdoor}.pth)
+# ---------------------------------------------------------------------------
+
+
+def _c1(w) -> np.ndarray:
+    """torch Conv1d weight (O, I, 1) -> Dense kernel (I, O)."""
+    return np.ascontiguousarray(np.asarray(w)[..., 0].T)
+
+
+def _head_permutation(dim: int, num_heads: int) -> np.ndarray:
+    """Official MultiHeadedAttention packs channels head-fastest
+    (c = dh*H + h, `view(b, dim, h, n)`); ours is head-major (c = h*Dh + dh).
+    Returns perm with new[i] = old[perm[i]]."""
+    Dh = dim // num_heads
+    perm = np.zeros(dim, dtype=np.int64)
+    for h in range(num_heads):
+        for dh in range(Dh):
+            perm[h * Dh + dh] = dh * num_heads + h
+    return perm
+
+
+def _mlp_params(sd, prefix, idxs=(0, 3)):
+    """Official MLP Sequential(Conv1d, BN, ReLU, ..., Conv1d) -> our MLP
+    (dense_i + bn_i). Returns (params, batch_stats)."""
+    params, stats = {}, {}
+    conv_ids = [i for i in idxs]
+    for j, ci in enumerate(conv_ids):
+        params[f"dense_{j}"] = {
+            "kernel": _c1(sd[f"{prefix}.{ci}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.{ci}.bias"]),
+        }
+        bn_key = f"{prefix}.{ci + 1}.weight"
+        if bn_key in sd:  # BN follows all but the last conv
+            params[f"bn_{j}"] = {
+                "scale": np.asarray(sd[f"{prefix}.{ci + 1}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.{ci + 1}.bias"]),
+            }
+            stats[f"bn_{j}"] = {
+                "mean": np.asarray(sd[f"{prefix}.{ci + 1}.running_mean"]),
+                "var": np.asarray(sd[f"{prefix}.{ci + 1}.running_var"]),
+            }
+    return params, stats
+
+
+def _attn_prop_params(sd, prefix, dim, num_heads):
+    """AttentionalPropagation: attn.proj.{0,1,2} (q,k,v), attn.merge,
+    mlp Sequential(Conv 2d->2d, BN, ReLU, Conv 2d->d)."""
+    perm = _head_permutation(dim, num_heads)
+    params, stats = {}, {}
+    for name, j in (("proj_q", 0), ("proj_k", 1), ("proj_v", 2)):
+        w = np.asarray(sd[f"{prefix}.attn.proj.{j}.weight"])[..., 0]  # (O, I)
+        b = np.asarray(sd[f"{prefix}.attn.proj.{j}.bias"])
+        params[name] = {"kernel": np.ascontiguousarray(w[perm].T), "bias": b[perm]}
+    wm = np.asarray(sd[f"{prefix}.attn.merge.weight"])[..., 0]  # (O, I)
+    params["merge"] = {
+        "kernel": np.ascontiguousarray(wm[:, perm].T),
+        "bias": np.asarray(sd[f"{prefix}.attn.merge.bias"]),
+    }
+    mlp_params, mlp_stats = _mlp_params(sd, f"{prefix}.mlp", idxs=(0, 3))
+    params["mlp"] = mlp_params
+    if mlp_stats:
+        stats["mlp"] = mlp_stats
+    return params, stats
+
+
+def convert_superglue(sd: dict, n_layers: int = 9, dim: int = 256, num_heads: int = 4):
+    """Returns (params, batch_stats)."""
+    sd = strip_prefixes(sd)
+    params: dict = {}
+    stats: dict = {}
+    # keypoint encoder MLP [3, 32, 64, 128, 256, 256]: convs at 0,3,6,9,12
+    kenc_params, kenc_stats = _mlp_params(sd, "kenc.encoder", idxs=(0, 3, 6, 9, 12))
+    params["kenc"] = kenc_params
+    if kenc_stats:
+        stats["kenc"] = kenc_stats
+    for i in range(2 * n_layers):
+        p, s = _attn_prop_params(sd, f"gnn.layers.{i}", dim, num_heads)
+        params[f"gnn_{i}"] = p
+        if s:
+            stats[f"gnn_{i}"] = s
+    params["final_proj"] = {
+        "kernel": _c1(sd["final_proj.weight"]),
+        "bias": np.asarray(sd["final_proj.bias"]),
+    }
+    params["bin_score"] = np.asarray(sd["bin_score"]).reshape(())
+    return params, stats
+
+
+def convert_gluestick(sd: dict, n_layers: int = 9, dim: int = 256, num_heads: int = 4):
+    """Official GlueStick checkpoint (`checkpoint_GlueStick_MD.tar`, model
+    state under 'model' with 'matcher.' prefixes) -> (params, batch_stats)."""
+    sd = strip_prefixes(sd)
+    params: dict = {}
+    stats: dict = {}
+    kenc_params, kenc_stats = _mlp_params(sd, "kenc.encoder", idxs=(0, 3, 6, 9, 12))
+    params["kenc"] = kenc_params
+    if kenc_stats:
+        stats["kenc"] = kenc_stats
+    lenc_params, lenc_stats = _mlp_params(sd, "lenc.encoder", idxs=(0, 3, 6, 9, 12))
+    params["lenc"] = {"encoder": lenc_params}
+    if lenc_stats:
+        stats["lenc"] = {"encoder": lenc_stats}
+    for i in range(2 * n_layers):
+        p, s = _attn_prop_params(sd, f"gnn.layers.{i}.update", dim, num_heads)
+        params[f"gnn_{i}"] = p
+        if s:
+            stats[f"gnn_{i}"] = s
+    for i in range(n_layers):
+        mlp_p, mlp_s = _mlp_params(sd, f"gnn.line_layers.{i}.mlp", idxs=(0, 3))
+        params[f"line_layer_{i}"] = {"mlp": mlp_p}
+        if mlp_s:
+            stats[f"line_layer_{i}"] = {"mlp": mlp_s}
+    for name in ("final_proj", "final_line_proj"):
+        params[name] = {
+            "kernel": _c1(sd[f"{name}.weight"]),
+            "bias": np.asarray(sd[f"{name}.bias"]),
+        }
+    if "input_proj.weight" in sd:
+        params["input_proj"] = {
+            "kernel": _c1(sd["input_proj.weight"]),
+            "bias": np.asarray(sd["input_proj.bias"]),
+        }
+    params["bin_score"] = np.asarray(sd["bin_score"]).reshape(())
+    params["line_bin_score"] = np.asarray(sd["line_bin_score"]).reshape(())
+    return params, stats
+
+
 CONVERTERS = {
     "superpoint": convert_superpoint,
     "lightglue": convert_lightglue,
+    "superglue": convert_superglue,
+    "gluestick": convert_gluestick,
 }
 
 
@@ -193,8 +323,12 @@ def main():
     parser.add_argument("out_path")
     args = parser.parse_args()
     sd = load_torch_state_dict(args.torch_path)
-    params = CONVERTERS[args.model](sd)
-    save_params(params, args.out_path)
+    out = CONVERTERS[args.model](sd)
+    if isinstance(out, tuple):
+        params, batch_stats = out
+    else:
+        params, batch_stats = out, None
+    save_params(params, args.out_path, batch_stats)
     print(f"wrote {args.out_path}")
 
 
