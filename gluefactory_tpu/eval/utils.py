@@ -200,8 +200,14 @@ def eval_homography_robust(data: dict, pred: dict, conf) -> dict:
     kpts0, kpts1 = pred["keypoints0"], pred["keypoints1"]
     m0, scores0 = pred["matches0"], pred["matching_scores0"]
     pts0, pts1, scores = get_matches_scores(kpts0, kpts1, m0, scores0)
+    est_data = {"m_kpts0": pts0, "m_kpts1": pts1}
+    if "line_matches0" in pred:
+        lm0 = np.asarray(pred["line_matches0"])
+        lvalid = lm0 > -1
+        est_data["m_lines0"] = np.asarray(pred["lines0"])[lvalid]
+        est_data["m_lines1"] = np.asarray(pred["lines1"])[lm0[lvalid]]
     estimator = load_estimator("homography", conf["estimator"])(conf)
-    est = estimator({"m_kpts0": pts0, "m_kpts1": pts1})
+    est = estimator(est_data)
     if not est["success"]:
         return {"H_error_ransac": np.inf, "ransac_inl": 0, "ransac_inl%": 0.0}
     M = np.asarray(est["M_0to1"])

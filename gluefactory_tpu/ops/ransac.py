@@ -185,3 +185,79 @@ def ransac_essential(p0, p1, valid, th: float, rng, n_iters: int = 1024):
         "num_inliers": num,
         "success": num >= 8,
     }
+
+
+# ---------------------------------------------------------------------------
+# Hybrid point + line homography RANSAC (role of the reference's
+# homography_est C++ backend, `robust_estimators/homography/homography_est.py`)
+# ---------------------------------------------------------------------------
+
+
+def _line_residuals(H, lines0, lines1):
+    """Perpendicular distance of warped lines0 endpoints to the (infinite)
+    matched line in image 1, symmetrized: (L,)."""
+    from ..geometry.homography import warp_points
+
+    ep0 = lines0.reshape(-1, 2)  # (2L, 2)
+    ep0_w = warp_points(ep0[None], H[None])[0].reshape(-1, 2, 2)  # (L, 2, 2)
+
+    def perp_dist(endpoints, target):
+        # endpoints (L, 2, 2); target (L, 2, 2) segment -> line (a, b, c)
+        p0, p1 = target[:, 0], target[:, 1]
+        d = p1 - p0
+        n = jnp.stack([-d[:, 1], d[:, 0]], -1)
+        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-8)
+        off = endpoints - p0[:, None, :]
+        return jnp.abs((off * n[:, None, :]).sum(-1)).max(-1)  # (L,)
+
+    d01 = perp_dist(ep0_w, lines1)
+    ep1 = lines1.reshape(-1, 2)
+    ep1_w = warp_points(ep1[None], jnp.linalg.inv(H)[None])[0].reshape(-1, 2, 2)
+    d10 = perp_dist(ep1_w, lines0)
+    return 0.5 * (d01 + d10)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def ransac_homography_hybrid(
+    pts0, pts1, pt_valid, lines0, lines1, ln_valid, th: float, rng, n_iters: int = 1024
+):
+    """Joint point+line homography RANSAC: hypotheses from 4-point minimal
+    samples, scored by point symmetric-transfer inliers PLUS line
+    endpoint-to-line inliers; LO refit on point inliers.
+
+    pts (N, 2) x2 with pt_valid (N,); lines (L, 2, 2) x2 with ln_valid (L,).
+    """
+    n = pts0.shape[0]
+    idx = _sample_minimal_sets(rng, n_iters, 4, n, pt_valid)
+    H_hyp = compute_homography_dlt(pts0[idx], pts1[idx])
+    th2 = th * th
+
+    def score(H):
+        pres = _homography_residuals(H, pts0, pts1)
+        p_inl = (pres < th2) & pt_valid
+        lres = _line_residuals(H, lines0, lines1)
+        l_inl = (lres < th) & ln_valid
+        return p_inl.sum() + l_inl.sum(), p_inl, l_inl
+
+    counts, p_inls, l_inls = jax.vmap(lambda H: score(H))(H_hyp)
+    finite = jnp.isfinite(H_hyp).all(axis=(-1, -2))
+    counts = jnp.where(finite, counts, -1)
+    best = jnp.argmax(counts)
+    H_best = H_hyp[best]
+
+    def refit(H, _):
+        w = ((_homography_residuals(H, pts0, pts1) < th2) & pt_valid).astype(jnp.float32)
+        H_new = compute_homography_dlt(pts0[None], pts1[None], w[None])[0]
+        ok = jnp.isfinite(H_new).all() & (w.sum() >= 4)
+        return jnp.where(ok, H_new, H), None
+
+    H_best, _ = jax.lax.scan(refit, H_best, None, length=2)
+    p_inl = (_homography_residuals(H_best, pts0, pts1) < th2) & pt_valid
+    l_inl = (_line_residuals(H_best, lines0, lines1) < th) & ln_valid
+    return {
+        "M_0to1": H_best,
+        "inliers": p_inl,
+        "line_inliers": l_inl,
+        "num_inliers": p_inl.sum() + l_inl.sum(),
+        "success": (p_inl.sum() >= 4) | (l_inl.sum() >= 4),
+    }
