@@ -115,3 +115,28 @@ def test_opencv_relative_pose_estimator():
     r_err, t_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
     assert float(r_err) < 2.0
     assert float(t_err) < 5.0
+
+
+def test_native_homography_estimator():
+    pts0, pts1, H_gt = make_homography_data(seed=5)
+    est = load_estimator("homography", "poselib")({"ransac_th": 3.0})
+    out = est({"m_kpts0": pts0, "m_kpts1": pts1})
+    assert out["success"]
+    assert out["inliers"].sum() >= 50
+    import jax.numpy as jnp
+    corners = jnp.asarray([[[0.0, 0], [480, 0], [480, 480], [0, 480]]], jnp.float32)
+    err = np.abs(
+        np.asarray(warp_points(corners, jnp.asarray(out["M_0to1"][None])))
+        - np.asarray(warp_points(corners, jnp.asarray(H_gt[None].astype(np.float32))))
+    ).max()
+    assert err < 3.0, err
+
+
+def test_native_relative_pose_estimator():
+    kpts0, kpts1, cam, T_gt = make_epipolar_data(seed=6)
+    est = load_estimator("relative_pose", "poselib")({"ransac_th": 1.5})
+    out = est({"m_kpts0": kpts0, "m_kpts1": kpts1, "camera0": cam, "camera1": cam})
+    assert out["success"]
+    r_err, t_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
+    assert float(r_err) < 2.0, float(r_err)
+    assert float(t_err) < 5.0, float(t_err)
