@@ -82,7 +82,18 @@ def log_double_softmax(sim, bin_score, mask0=None, mask1=None) -> jnp.ndarray:
 
 
 def log_sinkhorn_iterations(Z, log_mu, log_nu, iters: int) -> jnp.ndarray:
-    """Log-domain Sinkhorn normalization (reference `superglue.py:186-199`)."""
+    """Log-domain Sinkhorn normalization (reference `superglue.py:186-199`).
+
+    On TPU, routes through the VMEM-resident Pallas kernel
+    (`ops/pallas_sinkhorn.py`) when the coupling matrix fits on chip."""
+    try:
+        if jax.default_backend() != "cpu":
+            from .pallas_sinkhorn import log_sinkhorn_pallas, sinkhorn_available
+
+            if sinkhorn_available(Z.shape[1], Z.shape[2]):
+                return log_sinkhorn_pallas(Z, log_mu, log_nu, iters)
+    except Exception:
+        pass
 
     def body(_, carry):
         u, v = carry

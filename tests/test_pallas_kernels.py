@@ -45,3 +45,17 @@ def test_fused_attention_uneven_m():
     out = fused_attention(q, k, v, block_q=32, interpret=True)
     assert out.shape == (B, H, M, D)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sinkhorn_kernel_matches_reference():
+    from gluefactory_tpu.ops.assignment import log_sinkhorn_iterations
+    from gluefactory_tpu.ops.pallas_sinkhorn import log_sinkhorn_pallas
+
+    rng = np.random.default_rng(3)
+    B, M, N = 2, 33, 41
+    Z = jnp.asarray(rng.normal(size=(B, M, N)), jnp.float32)
+    log_mu = jnp.asarray(rng.normal(size=(B, M)), jnp.float32)
+    log_nu = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
+    ref = log_sinkhorn_iterations(Z, log_mu, log_nu, 20)
+    out = log_sinkhorn_pallas(Z, log_mu, log_nu, 20, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
