@@ -221,3 +221,34 @@ def test_log_double_softmax_shape():
     out = np.asarray(log_double_softmax(sim, 1.0))
     assert out.shape == (1, 5, 6)
     assert (out[:, :4, :5] <= 0).all()
+
+
+def test_warp_perspective_matches_cv2():
+    import cv2
+
+    from gluefactory_tpu.ops.warp import warp_perspective
+
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0, 1, (60, 80, 3)).astype(np.float32)
+    img = cv2.GaussianBlur(img, (5, 5), 1.0)  # smooth -> interp differences small
+    H = np.array(
+        [[1.05, 0.03, -4.0], [-0.02, 0.98, 3.0], [1e-4, -5e-5, 1.0]], np.float32
+    )
+    ref = cv2.warpPerspective(img, H, (80, 60), flags=cv2.INTER_LINEAR)
+    out = np.asarray(warp_perspective(jnp.asarray(img[None]), jnp.asarray(H[None]), (80, 60)))[0]
+    # compare away from boundaries (border handling differs)
+    diff = np.abs(out[5:-5, 5:-5] - ref[5:-5, 5:-5])
+    assert np.quantile(diff, 0.99) < 0.03, np.quantile(diff, 0.99)
+
+
+def test_photometric_jitter_bounds():
+    from gluefactory_tpu.ops.warp import photometric_jitter
+
+    rng = np.random.default_rng(12)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32)
+    out = photometric_jitter(img, jax.random.key(0))
+    assert out.shape == img.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # deterministic given the key
+    out2 = photometric_jitter(img, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
