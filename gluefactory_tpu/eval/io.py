@@ -116,6 +116,37 @@ def load_model(model_conf, checkpoint, init_data=None):
     return model, variables
 
 
+def load_component_weights(model, variables: dict) -> dict:
+    """Merge converted-weight msgpacks declared per pipeline component
+    (`model.<comp>.weights_file`) into initialized variables."""
+    from flax import serialization
+
+    variables = {k: dict(v) if isinstance(v, dict) else v for k, v in variables.items()}
+    for comp in getattr(model, "components", []):
+        comp_conf = model.conf.get(comp)
+        if not comp_conf or not comp_conf.get("name"):
+            continue
+        wf = comp_conf.get("weights_file")
+        if not wf:
+            continue
+        with open(wf, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        key = f"{comp}_model"
+        logger.info("Loading %s weights from %s", comp, wf)
+        variables["params"] = dict(variables["params"])
+        variables["params"][key] = serialization.from_state_dict(
+            variables["params"][key], payload["params"]
+        )
+        if payload.get("batch_stats"):
+            variables.setdefault("batch_stats", {})
+            variables["batch_stats"] = dict(variables["batch_stats"])
+            template = variables["batch_stats"].get(key, payload["batch_stats"])
+            variables["batch_stats"][key] = serialization.from_state_dict(
+                template, payload["batch_stats"]
+            )
+    return variables
+
+
 def make_apply_fn(model, variables):
     """Return `apply(prepared_batch) -> pred` with lazy init and jit cache
     keyed by input shapes."""
@@ -130,10 +161,13 @@ def make_apply_fn(model, variables):
 
         batch = strip_non_arrays(batch)
         if state["variables"] is None:
-            logger.info("Initializing model variables from the first batch (random weights)")
-            state["variables"] = model.init(
-                {"params": jax.random.key(0), "sample": jax.random.key(1)}, batch
+            logger.info("Initializing model variables from the first batch")
+            variables = dict(
+                model.init(
+                    {"params": jax.random.key(0), "sample": jax.random.key(1)}, batch
+                )
             )
+            state["variables"] = load_component_weights(model, variables)
         return _fwd(state["variables"], batch)
 
     return apply_fn

@@ -42,6 +42,7 @@ class BaseModel(nn.Module):
         "trainable": True,  # whether the optimizer updates this model's params
         "freeze_batch_normalization": False,  # use running stats even in train
         "timeit": False,
+        "weights_file": None,  # converted-checkpoint msgpack (compat/)
     }
     default_conf: ClassVar[dict] = {}
     required_data_keys: ClassVar[list] = []
