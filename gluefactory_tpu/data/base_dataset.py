@@ -119,6 +119,9 @@ class BaseDataset:
         return self.conf.get(f"{split}_batch_size") or self.conf.batch_size
 
     def get_data_loader(self, split: str, shuffle: bool | None = None, distributed: bool = False):
+        """With `distributed=True`, each JAX process loads its 1/num_processes
+        shard of the dataset (role of the reference's DistributedSampler,
+        `base_dataset.py:166-169` — per-host data loading for multi-host pjit)."""
         dataset = self.get_dataset(split)
         bs = self.batch_size(split)
         if shuffle is None:
@@ -130,10 +133,22 @@ class BaseDataset:
             kwargs["worker_init_fn"] = worker_init_fn
         generator = torch.Generator()
         generator.manual_seed(self.conf.seed)
+        if distributed:
+            import jax
+
+            sampler = torch_data.distributed.DistributedSampler(
+                dataset,
+                num_replicas=jax.process_count(),
+                rank=jax.process_index(),
+                shuffle=shuffle,
+                seed=self.conf.seed,
+            )
+            kwargs["sampler"] = sampler
+            shuffle = False
         return torch_data.DataLoader(
             dataset,
             batch_size=bs,
-            shuffle=shuffle,
+            shuffle=shuffle if not distributed else False,
             num_workers=num_workers,
             collate_fn=collate,
             drop_last=split == "train",

@@ -411,9 +411,17 @@ def training(conf: Config, output_dir: Path, args):
     train_step = jax.jit(make_train_step(model, tx, conf.train.mixed_precision), donate_argnums=(0, 1))
     eval_step = jax.jit(make_eval_step(model))
 
-    # save resolved conf
+    # save resolved conf + a source snapshot for reproducibility
+    # (role of reference train.py:723-726 module-source snapshotting)
     with open(output_dir / "config.yaml", "w") as f:
         f.write(conf.to_yaml())
+    try:
+        import shutil
+
+        pkg_dir = Path(__file__).parent
+        shutil.make_archive(str(output_dir / "source_snapshot"), "gztar", pkg_dir)
+    except Exception as e:
+        logger.warning("source snapshot failed: %s", e)
 
     total_iter = iter0
     stop = False
