@@ -125,7 +125,9 @@ class SuperPoint(BaseModel):
             in_area = (xs < w_true - b_) & (ys < h_true - b_)
             nmsed = jnp.where(in_area, nmsed, jnp.zeros_like(nmsed))
         k = int(c.max_num_keypoints)
-        kpts, kpt_scores, valid = top_k_keypoints(nmsed, k, c.detection_threshold)
+        kpts, kpt_scores, valid = top_k_keypoints(
+            nmsed, k, c.detection_threshold, nms_radius=c.nms_radius
+        )
 
         if c.force_num_keypoints:
             rng = self.make_rng("sample")

@@ -51,7 +51,8 @@ def remove_borders(scores: jnp.ndarray, border: int) -> jnp.ndarray:
     return jnp.where(mask[None], scores, jnp.zeros_like(scores))
 
 
-def top_k_keypoints(scores: jnp.ndarray, k: int, threshold: float = 0.0):
+def top_k_keypoints(scores: jnp.ndarray, k: int, threshold: float = 0.0,
+                    nms_radius: int | None = None):
     """Select the top-k scoring pixels as keypoints (static shape).
 
     scores: (B, H, W). Returns (keypoints (B, k, 2) xy in COLMAP convention
@@ -59,12 +60,39 @@ def top_k_keypoints(scores: jnp.ndarray, k: int, threshold: float = 0.0):
     Entries below `threshold` (or beyond the number of nonzero scores) are
     marked invalid; their coordinates are clamped in-image so downstream
     gathers stay safe.
+
+    With `nms_radius` given (scores already NMS'd with that radius), a
+    two-stage EXACT top-k runs: NMS survivors are > radius apart, so a
+    t x t tile with t <= radius + 1 holds at most one positive survivor —
+    per-tile max reduction shrinks the sort input by t^2 before `lax.top_k`
+    (the flat 1M-element sort dominates detection decode cost on TPU).
     """
     B, H, W = scores.shape
-    flat = scores.reshape(B, H * W)
-    vals, idx = jax.lax.top_k(flat, k)
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
+    tile = 0
+    if nms_radius is not None and nms_radius >= 1:
+        tile = min(nms_radius + 1, 4)
+        while tile > 1 and (H % tile or W % tile):
+            tile -= 1
+    if tile >= 2:
+        Ht, Wt = H // tile, W // tile
+        t2 = tile * tile
+        blocks = scores.reshape(B, Ht, tile, Wt, tile).transpose(0, 1, 3, 2, 4)
+        blocks = blocks.reshape(B, Ht * Wt, t2)
+        tile_max = blocks.max(axis=-1)
+        tile_arg = blocks.argmax(axis=-1)  # position inside the tile
+        vals, tidx = jax.lax.top_k(tile_max, k)  # (B, k) over Ht*Wt tiles
+        inner = jnp.take_along_axis(tile_arg, tidx, axis=-1)
+        ty = (tidx // Wt).astype(jnp.float32)
+        tx = (tidx % Wt).astype(jnp.float32)
+        iy = (inner // tile).astype(jnp.float32)
+        ix = (inner % tile).astype(jnp.float32)
+        xs = tx * tile + ix
+        ys = ty * tile + iy
+    else:
+        flat = scores.reshape(B, H * W)
+        vals, idx = jax.lax.top_k(flat, k)
+        ys = (idx // W).astype(jnp.float32)
+        xs = (idx % W).astype(jnp.float32)
     kpts = jnp.stack([xs, ys], axis=-1) + 0.5  # COLMAP pixel-center convention
     valid = vals > threshold
     return kpts, vals, valid

@@ -252,3 +252,20 @@ def test_photometric_jitter_bounds():
     # deterministic given the key
     out2 = photometric_jitter(img, jax.random.key(0))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_tiled_topk_exact_after_nms():
+    """With NMS'd scores, the tiled two-stage top-k must equal the flat one."""
+    rng = np.random.default_rng(13)
+    scores = jnp.asarray(rng.uniform(0, 1, (2, 64, 96)), jnp.float32)
+    nmsed = simple_nms(scores, radius=3)
+    k = 32
+    kp_a, v_a, m_a = top_k_keypoints(nmsed, k, 0.0)
+    kp_b, v_b, m_b = top_k_keypoints(nmsed, k, 0.0, nms_radius=3)
+    np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_b), atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+    # same positions for valid entries (ordering of equal scores may differ)
+    va = np.asarray(m_a)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(kp_a)[va].ravel()), np.sort(np.asarray(kp_b)[va].ravel()), atol=1e-5
+    )
