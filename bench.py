@@ -27,7 +27,7 @@ import numpy as np
 
 A100_BASELINE_PAIRS_PER_SEC = 36.0
 
-BATCH = 4
+BATCH = 8  # batch-scaling probe: best pairs/s/chip at B=8 on v5e
 IMAGE_SIZE = 1024
 NUM_KEYPOINTS = 2048
 ITERS = 20

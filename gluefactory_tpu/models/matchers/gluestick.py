@@ -162,6 +162,10 @@ class GlueStick(BaseModel):
         line_enc0 = self.lenc(lines0_n, data["line_scores0"], train=train)
         line_enc1 = self.lenc(lines1_n, data["line_scores1"], train=train)
 
+        from ...ops import attention as _attn
+
+        flash_before = _attn._FLASH_ENABLED
+        _attn._FLASH_ENABLED = not train  # fused kernel is inference-only
         for i in range(2 * c.n_layers):
             layer = self.gnn_layers[i]
             if i % 2 == 0:  # self + line message passing
@@ -175,6 +179,8 @@ class GlueStick(BaseModel):
                 x0_new = layer(x0, x1, mask0, mask1, train)
                 x1 = layer(x1, x0, mask1, mask0, train)
                 x0 = x0_new
+
+        _attn._FLASH_ENABLED = flash_before
 
         pred = {}
         # point assignment: dual softmax with dustbin

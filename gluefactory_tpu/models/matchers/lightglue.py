@@ -224,24 +224,34 @@ class LightGlue(BaseModel):
         enc0 = self.posenc(p0)
         enc1 = self.posenc(p1)
 
-        do_prune = not train and (c.depth_confidence > 0 or c.width_confidence > 0)
-        if do_prune:
-            scores, prune0, prune1 = self._pruned_forward(
-                desc0, desc1, enc0, enc1, mask0, mask1
-            )
-            all_desc0, all_desc1 = [], []
-        else:
-            all_desc0, all_desc1 = [], []
-            for i in range(c.n_layers):
-                desc0, desc1 = self.transformers[i](
+        # conf.flash gates the fused Pallas attention kernel for this model
+        # (applied at trace time; the global switch stays authoritative)
+        from ...ops import attention as _attn
+
+        flash_before = _attn._FLASH_ENABLED
+        _attn._FLASH_ENABLED = bool(c.flash) and not train
+
+        try:
+            do_prune = not train and (c.depth_confidence > 0 or c.width_confidence > 0)
+            if do_prune:
+                scores, prune0, prune1 = self._pruned_forward(
                     desc0, desc1, enc0, enc1, mask0, mask1
                 )
-                if train:
-                    all_desc0.append(desc0)
-                    all_desc1.append(desc1)
-            scores, sim, z0, z1 = self.log_assignment[c.n_layers - 1](
-                desc0, desc1, mask0, mask1
-            )
+                all_desc0, all_desc1 = [], []
+            else:
+                all_desc0, all_desc1 = [], []
+                for i in range(c.n_layers):
+                    desc0, desc1 = self.transformers[i](
+                        desc0, desc1, enc0, enc1, mask0, mask1
+                    )
+                    if train:
+                        all_desc0.append(desc0)
+                        all_desc1.append(desc1)
+                scores, sim, z0, z1 = self.log_assignment[c.n_layers - 1](
+                    desc0, desc1, mask0, mask1
+                )
+        finally:
+            _attn._FLASH_ENABLED = flash_before
         m0, m1, mscores0, mscores1 = filter_matches(scores, c.filter_threshold, mask0, mask1)
 
         pred = {

@@ -35,7 +35,10 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndar
     return x * cos2 + rotate_half(x) * sin2
 
 
-_FLASH_ENABLED: bool = True
+# Disabled by default: the fused kernel has no custom VJP yet, so it is an
+# INFERENCE-path optimization — models enable it at trace time when
+# (conf.flash and not train); see LightGlue/SuperGlue/GlueStick._forward.
+_FLASH_ENABLED: bool = False
 
 
 def set_flash(enabled: bool):
