@@ -408,7 +408,9 @@ def training(conf: Config, output_dir: Path, args):
         logger.info("Warm-started from experiment %s", conf.train.load_experiment)
 
     # jitted steps ---------------------------------------------------------
-    train_step = jax.jit(make_train_step(model, tx, conf.train.mixed_precision), donate_argnums=(0, 1))
+    # NOTE: no donate_argnums — buffer donation is unsupported/unreliable
+    # through relayed PJRT backends; revisit for real pods (memory win only).
+    train_step = jax.jit(make_train_step(model, tx, conf.train.mixed_precision))
     eval_step = jax.jit(make_eval_step(model))
 
     # save resolved conf + a source snapshot for reproducibility
