@@ -27,7 +27,8 @@ import numpy as np
 
 A100_BASELINE_PAIRS_PER_SEC = 36.0
 
-BATCH = 8  # batch-scaling probe: best pairs/s/chip at B=8 on v5e
+BATCH = 4  # stacked two-view extraction doubles the conv batch to 8 —
+# the measured per-image sweet spot on v5e (B=16 convs regress + OOM)
 IMAGE_SIZE = 1024
 NUM_KEYPOINTS = 2048
 ITERS = 20

@@ -96,7 +96,15 @@ class GlueStick(BaseModel):
         "num_line_iterations": 1,
         "filter_threshold": 0.2,
         "checkpointed": False,
-        "loss": {"nll_weight": 1.0, "nll_balancing": 0.5, "line_nll_weight": 1.0},
+        # layer indices (into the n_layers self/line blocks) with auxiliary
+        # line supervision (reference `gluestick.py:272-292` inter_supervision)
+        "inter_supervision": None,
+        "loss": {
+            "nll_weight": 1.0,
+            "nll_balancing": 0.5,
+            "line_nll_weight": 1.0,
+            "inter_supervision_weight": 0.5,
+        },
     }
     required_data_keys = [
         "keypoints0", "keypoints1", "descriptors0", "descriptors1",
@@ -121,6 +129,11 @@ class GlueStick(BaseModel):
         ]
         self.final_proj = nn.Dense(d, name="final_proj")
         self.final_line_proj = nn.Dense(d, name="final_line_proj")
+        inter = tuple(c.inter_supervision or ())
+        self.inter_line_proj = [
+            nn.Dense(d, name=f"inter_line_proj_{i}") for i in range(len(inter))
+        ]
+        self.inter_layers = inter
         self.bin_score = self.param("bin_score", lambda k: jnp.asarray(1.0))
         self.line_bin_score = self.param("line_bin_score", lambda k: jnp.asarray(1.0))
 
@@ -166,6 +179,7 @@ class GlueStick(BaseModel):
 
         flash_before = _attn._FLASH_ENABLED
         _attn._FLASH_ENABLED = not train  # fused kernel is inference-only
+        inter_descs = {}
         for i in range(2 * c.n_layers):
             layer = self.gnn_layers[i]
             if i % 2 == 0:  # self + line message passing
@@ -179,6 +193,8 @@ class GlueStick(BaseModel):
                 x0_new = layer(x0, x1, mask0, mask1, train)
                 x1 = layer(x1, x0, mask1, mask0, train)
                 x0 = x0_new
+            if train and (i // 2) in self.inter_layers and i % 2 == 1:
+                inter_descs[i // 2] = (x0, x1)
 
         _attn._FLASH_ENABLED = flash_before
 
@@ -207,12 +223,23 @@ class GlueStick(BaseModel):
             line_matching_scores0=lms0, line_matching_scores1=lms1,
             raw_line_scores=raw,
         )
+        # auxiliary line assignments at intermediate layers (train only)
+        for j, layer_idx in enumerate(self.inter_layers):
+            if layer_idx not in inter_descs:
+                continue
+            xi0, xi1 = inter_descs[layer_idx]
+            ls_i, *_ = self._line_matches(
+                xi0, xi1, junc_idx0, junc_idx1, lmask0, lmask1,
+                proj=self.inter_line_proj[j],
+            )
+            pred[f"line_{layer_idx}_log_assignment"] = ls_i
         return pred
 
-    def _line_matches(self, x0, x1, junc_idx0, junc_idx1, lmask0, lmask1):
+    def _line_matches(self, x0, x1, junc_idx0, junc_idx1, lmask0, lmask1, proj=None):
         c = self.conf
-        mld0 = self.final_line_proj(jnp.take_along_axis(x0, junc_idx0[..., None], axis=1))
-        mld1 = self.final_line_proj(jnp.take_along_axis(x1, junc_idx1[..., None], axis=1))
+        proj = proj if proj is not None else self.final_line_proj
+        mld0 = proj(jnp.take_along_axis(x0, junc_idx0[..., None], axis=1))
+        mld1 = proj(jnp.take_along_axis(x1, junc_idx1[..., None], axis=1))
         B, L20, D = mld0.shape
         L0, L1 = L20 // 2, mld1.shape[1] // 2
         s = jnp.einsum("bnd,bmd->bnm", mld0, mld1, preferred_element_type=jnp.float32)
@@ -264,6 +291,18 @@ class GlueStick(BaseModel):
             )
             losses["nll_lines"] = nll_lines
             total = total + c.loss.line_nll_weight * nll_lines
+            # inter-layer line supervision (reference gluestick.py:272-292)
+            for layer_idx in self.inter_layers:
+                key = f"line_{layer_idx}_log_assignment"
+                if key in pred:
+                    nll_i = self._nll(
+                        pred[key],
+                        data["gt_line_assignment"],
+                        data["gt_line_matches0"],
+                        data["gt_line_matches1"],
+                    )
+                    losses[f"nll_lines_{layer_idx}"] = nll_i
+                    total = total + c.loss.inter_supervision_weight * nll_i
         from .lightglue import LightGlue
 
         metrics = LightGlue.matcher_metrics(pred, data)

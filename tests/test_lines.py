@@ -163,3 +163,43 @@ def test_wireframe_extractor_end_to_end():
     assert (idx[lm] < J).all()
     km = np.asarray(pred["keypoint_mask"])[0]
     assert km[idx[lm].ravel()].all()
+
+
+def test_gluestick_inter_supervision():
+    from gluefactory_tpu.models import get_model
+
+    B, N, L, D = 1, 24, 6, 32
+    rng = np.random.default_rng(4)
+    gs = get_model("gluestick").from_conf(
+        {"n_layers": 3, "descriptor_dim": D, "input_dim": D, "num_heads": 2,
+         "inter_supervision": [1]}
+    )
+    junc_idx = rng.integers(0, 12, (B, L, 2))
+    data = {
+        "keypoints0": jnp.asarray(rng.uniform(0, 512, (B, N, 2)), jnp.float32),
+        "keypoints1": jnp.asarray(rng.uniform(0, 512, (B, N, 2)), jnp.float32),
+        "descriptors0": jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32),
+        "descriptors1": jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32),
+        "keypoint_scores0": jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32),
+        "keypoint_scores1": jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32),
+        "lines0": jnp.asarray(rng.uniform(0, 512, (B, L, 2, 2)), jnp.float32),
+        "lines1": jnp.asarray(rng.uniform(0, 512, (B, L, 2, 2)), jnp.float32),
+        "lines_junc_idx0": jnp.asarray(junc_idx, jnp.int32),
+        "lines_junc_idx1": jnp.asarray(junc_idx, jnp.int32),
+        "line_scores0": jnp.asarray(rng.uniform(0, 1, (B, L)), jnp.float32),
+        "line_scores1": jnp.asarray(rng.uniform(0, 1, (B, L)), jnp.float32),
+        "view0": {"image_size": jnp.asarray([[512.0, 512.0]])},
+        "view1": {"image_size": jnp.asarray([[512.0, 512.0]])},
+        "gt_matches0": jnp.full((B, N), -1, jnp.int32),
+        "gt_matches1": jnp.full((B, N), -1, jnp.int32),
+        "gt_assignment": jnp.zeros((B, N, N), bool),
+        "gt_line_matches0": jnp.full((B, L), -1, jnp.int32),
+        "gt_line_matches1": jnp.full((B, L), -1, jnp.int32),
+        "gt_line_assignment": jnp.zeros((B, L, L), bool),
+    }
+    variables = gs.init({"params": jax.random.key(0)}, data, method="initialize")
+    pred, _ = gs.apply(variables, data, train=True, mutable=["batch_stats"])
+    assert "line_1_log_assignment" in pred
+    losses, _ = gs.apply(variables, pred, data, method="loss")
+    assert "nll_lines_1" in losses
+    assert np.isfinite(np.asarray(losses["total"])).all()
