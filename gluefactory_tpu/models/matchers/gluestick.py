@@ -175,10 +175,6 @@ class GlueStick(BaseModel):
         line_enc0 = self.lenc(lines0_n, data["line_scores0"], train=train)
         line_enc1 = self.lenc(lines1_n, data["line_scores1"], train=train)
 
-        from ...ops import attention as _attn
-
-        flash_before = _attn._FLASH_ENABLED
-        _attn._FLASH_ENABLED = not train  # fused kernel is inference-only
         inter_descs = {}
         for i in range(2 * c.n_layers):
             layer = self.gnn_layers[i]
@@ -195,8 +191,6 @@ class GlueStick(BaseModel):
                 x0 = x0_new
             if train and (i // 2) in self.inter_layers and i % 2 == 1:
                 inter_descs[i // 2] = (x0, x1)
-
-        _attn._FLASH_ENABLED = flash_before
 
         pred = {}
         # point assignment: dual softmax with dustbin

@@ -229,7 +229,7 @@ class LightGlue(BaseModel):
         from ...ops import attention as _attn
 
         flash_before = _attn._FLASH_ENABLED
-        _attn._FLASH_ENABLED = bool(c.flash) and not train
+        _attn._FLASH_ENABLED = flash_before and bool(c.flash)
 
         try:
             do_prune = not train and (c.depth_confidence > 0 or c.width_confidence > 0)

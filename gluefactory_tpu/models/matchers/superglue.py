@@ -123,10 +123,6 @@ class SuperGlue(BaseModel):
         x0 = desc0 + self.kenc(enc_in0, train=train)
         x1 = desc1 + self.kenc(enc_in1, train=train)
 
-        from ...ops import attention as _attn
-
-        flash_before = _attn._FLASH_ENABLED
-        _attn._FLASH_ENABLED = not train  # fused kernel is inference-only
         for i, layer in enumerate(self.gnn_layers):
             if i % 2 == 0:  # self-attention
                 x0 = layer(x0, x0, mask0, mask0, train)
@@ -135,8 +131,6 @@ class SuperGlue(BaseModel):
                 x0_new = layer(x0, x1, mask0, mask1, train)
                 x1 = layer(x1, x0, mask1, mask0, train)
                 x0 = x0_new
-
-        _attn._FLASH_ENABLED = flash_before
 
         mdesc0 = self.final_proj(x0)
         mdesc1 = self.final_proj(x1)

@@ -35,10 +35,10 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndar
     return x * cos2 + rotate_half(x) * sin2
 
 
-# Disabled by default: the fused kernel has no custom VJP yet, so it is an
-# INFERENCE-path optimization — models enable it at trace time when
-# (conf.flash and not train); see LightGlue/SuperGlue/GlueStick._forward.
-_FLASH_ENABLED: bool = False
+# The fused kernel is differentiable through a custom VJP (fused forward,
+# reference backward — see pallas_attention.flash_mha), so it is usable in
+# training too. Models gate it at trace time via conf.flash.
+_FLASH_ENABLED: bool = True
 
 
 def set_flash(enabled: bool):
@@ -78,9 +78,11 @@ def mha(
     when the problem fits VMEM; the jnp path below is the reference semantics.
     """
     if _use_flash(k.shape[2], q.shape[-1]):
-        from .pallas_attention import fused_attention
+        from .pallas_attention import flash_mha
 
-        out = fused_attention(q, k, v, mask_k)
+        B, N = k.shape[0], k.shape[2]
+        mk = mask_k if mask_k is not None else jnp.ones((B, N), bool)
+        out = flash_mha(q, k, v, mk)
         if mask_q is not None:
             out = out * mask_q[:, None, :, None]
         return out

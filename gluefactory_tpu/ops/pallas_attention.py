@@ -92,3 +92,44 @@ def attention_available(n: int, d: int) -> bool:
     """Whether the single-pass kernel fits VMEM for this problem size."""
     vmem_needed = (2 * n * d + 256 * n) * 4
     return vmem_needed < 12 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: fused Pallas forward + reference jnp backward.
+# The kernel itself has no VJP; for training we recompute the (cheap at these
+# sizes) reference attention inside the backward pass — the fused forward
+# still wins the inference-heavy parts (validation, export, per-layer loss
+# recomputation is linear ops only).
+# ---------------------------------------------------------------------------
+
+
+def _mha_reference(q, k, v, mask_k):
+    dtype = q.dtype
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    logits = jnp.einsum("bhmd,bhnd->bhmn", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask_k is not None:
+        logits = jnp.where(mask_k[:, None, None, :], logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1)
+    if mask_k is not None:
+        attn = jnp.where(mask_k.any(axis=-1)[:, None, None, None], attn, 0.0)
+    return jnp.einsum("bhmn,bhnd->bhmd", attn, v.astype(jnp.float32)).astype(dtype)
+
+
+@jax.custom_vjp
+def flash_mha(q, k, v, mask_k):
+    return fused_attention(q, k, v, mask_k)
+
+
+def _flash_fwd(q, k, v, mask_k):
+    return fused_attention(q, k, v, mask_k), (q, k, v, mask_k)
+
+
+def _flash_bwd(res, g):
+    q, k, v, mask_k = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _mha_reference(q_, k_, v_, mask_k), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_mha.defvjp(_flash_fwd, _flash_bwd)

@@ -59,3 +59,34 @@ def test_sinkhorn_kernel_matches_reference():
     ref = log_sinkhorn_iterations(Z, log_mu, log_nu, 20)
     out = log_sinkhorn_pallas(Z, log_mu, log_nu, 20, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_flash_mha_gradients_match_reference():
+    """custom_vjp: grads through the fused kernel (interpret mode) must match
+    grads through the jnp reference."""
+    from gluefactory_tpu.ops import pallas_attention as pa
+
+    rng = np.random.default_rng(5)
+    B, H, M, N, D = 1, 2, 32, 32, 16
+    q = jnp.asarray(rng.normal(size=(B, H, M, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    mask = jnp.asarray(np.r_[np.ones(24, bool), np.zeros(8, bool)][None])
+
+    # use interpret mode inside the custom_vjp forward
+    orig = pa.fused_attention
+    pa_fused = lambda q, k, v, m: orig(q, k, v, m, interpret=True)
+    pa.fused_attention, saved = pa_fused, orig
+    try:
+        def loss_flash(q, k, v):
+            return (pa.flash_mha(q, k, v, mask) ** 2).sum()
+
+        def loss_ref(q, k, v):
+            return (pa._mha_reference(q, k, v, mask) ** 2).sum()
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    finally:
+        pa.fused_attention = saved
