@@ -52,6 +52,17 @@ class TwoViewPipeline(BaseModel):
     def component(self, name: str):
         return getattr(self, f"{name}_model")
 
+    def _stop_frozen_gradients(self, pred: dict) -> dict:
+        """Cut gradients at a frozen extractor's outputs (role of the
+        reference's requires_grad=False freeze): without this, the backward
+        pass still traverses — and keeps activations of — the whole extractor
+        even though its updates are masked out of the optimizer."""
+        import jax
+
+        return jax.tree.map(
+            lambda x: jax.lax.stop_gradient(x) if hasattr(x, "dtype") else x, pred
+        )
+
     def extract_view(self, data: dict, i: str, train: bool = False) -> dict:
         data_i = data[f"view{i}"]
         pred_i = dict(data_i.get("cache", {}))
@@ -59,6 +70,8 @@ class TwoViewPipeline(BaseModel):
         extractor = self.component("extractor")
         if extractor is not None and not skip_extract:
             pred_i = {**extractor({**data_i, **pred_i}, train=train), **pred_i}
+            if not extractor.is_trainable:
+                pred_i = self._stop_frozen_gradients(pred_i)
         return pred_i
 
     def _can_batch_extraction(self, data: dict) -> bool:
@@ -84,6 +97,8 @@ class TwoViewPipeline(BaseModel):
                 [v0["image_size"], v1["image_size"]], axis=0
             )
         pred = self.component("extractor")(stacked, train=train)
+        if not self.component("extractor").is_trainable:
+            pred = self._stop_frozen_gradients(pred)
         pred0 = {k: v[:B] for k, v in pred.items()}
         pred1 = {k: v[B:] for k, v in pred.items()}
         return pred0, pred1

@@ -248,16 +248,24 @@ def make_train_step(model, tx, mixed_precision=None):
 
         def loss_fn(p):
             p_fwd = p
+            fwd_batch = batch
             if mixed_precision == "bf16":
-                p_fwd = jax.tree.map(
+                to_bf16 = (
                     lambda x: x.astype(jnp.bfloat16)
                     if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
-                    else x,
-                    p,
+                    else x
                 )
+                p_fwd = jax.tree.map(to_bf16, p)
+                # cast image inputs too — casting params alone is useless
+                # (fp32 activations promote everything back to fp32)
+                fwd_batch = dict(batch)
+                for view in ("view0", "view1", "view2"):
+                    if view in fwd_batch and "image" in fwd_batch[view]:
+                        fwd_batch[view] = dict(fwd_batch[view])
+                        fwd_batch[view]["image"] = to_bf16(fwd_batch[view]["image"])
             outs, updates = model.apply(
                 {"params": p_fwd, **extra},
-                batch,
+                fwd_batch,
                 method="forward_with_loss",
                 mutable=["batch_stats"],
                 rngs={"sample": rng},
