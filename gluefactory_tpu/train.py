@@ -74,6 +74,10 @@ default_train_conf = {
     "clip_grad": None,
     "mixed_precision": None,  # None | "bf16"
     "log_it": False,
+    # chain K optimizer steps inside ONE jitted dispatch (lax.scan over K
+    # stacked batches): amortizes per-dispatch overhead — essential on
+    # relayed/remote PJRT backends, harmless on local chips
+    "steps_per_dispatch": 1,
     "log_grad_every_iter": None,  # log gradient-norm histograms
     "plot": None,  # [every_n_evals, "dotted.path.to.figure_fn"]
     "run_benchmarks": [],  # benchmark names to run per epoch (e.g. ["hpatches"])
@@ -196,14 +200,16 @@ def strip_non_arrays(batch):
     return batch
 
 
-def shard_batch(batch, mesh: Mesh):
-    """device_put every array leaf sharded over the mesh's data axis."""
-    data_sharding = NamedSharding(mesh, P("data"))
+def shard_batch(batch, mesh: Mesh, axis: int = 0):
+    """device_put every array leaf sharded over the mesh's data axis.
+    `axis` selects which array dimension is the batch dimension (1 for
+    stacked multi-step super-batches of shape (k, B, ...))."""
+    data_sharding = NamedSharding(mesh, P(*([None] * axis + ["data"])))
     scalar_sharding = NamedSharding(mesh, P())
 
     def put(x):
         x = np.asarray(x) if not isinstance(x, jnp.ndarray) else x
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.size == 0:
+        if getattr(x, "ndim", 0) > axis and x.shape[axis] % mesh.size == 0:
             return jax.device_put(x, data_sharding)
         return jax.device_put(x, scalar_sharding)
 
@@ -297,6 +303,36 @@ def make_train_step(model, tx, mixed_precision=None):
         return new_variables, new_opt_state, losses, metrics, {"grad_norm": gnorm, "ok": ok}
 
     return train_step
+
+
+def make_multi_step(train_step, k: int):
+    """Chain k optimizer steps in one dispatch via lax.scan over a stacked
+    batch pytree (leading axis k). Returns last-step losses/metrics."""
+
+    def multi_step(variables, opt_state, stacked_batch, rng):
+        def body(carry, inp):
+            variables, opt_state = carry
+            batch_i, rng_i = inp
+            variables, opt_state, losses, metrics, info = train_step(
+                variables, opt_state, batch_i, rng_i
+            )
+            return (variables, opt_state), (losses, metrics, info)
+
+        rngs = jax.random.split(rng, k)
+        (variables, opt_state), (losses, metrics, info) = jax.lax.scan(
+            body, (variables, opt_state), (stacked_batch, rngs)
+        )
+        last = lambda tree: jax.tree.map(lambda x: x[-1], tree)
+        return variables, opt_state, last(losses), last(metrics), last(info)
+
+    return multi_step
+
+
+def stack_batches(batches: list):
+    """Stack a list of same-structure batches along a new leading axis."""
+    import numpy as _np
+
+    return jax.tree.map(lambda *xs: _np.stack(xs, axis=0), *batches)
 
 
 def make_eval_step(model):
@@ -418,7 +454,12 @@ def training(conf: Config, output_dir: Path, args):
     # jitted steps ---------------------------------------------------------
     # NOTE: no donate_argnums — buffer donation is unsupported/unreliable
     # through relayed PJRT backends; revisit for real pods (memory win only).
-    train_step = jax.jit(make_train_step(model, tx, conf.train.mixed_precision))
+    k_steps = max(int(conf.train.steps_per_dispatch), 1)
+    base_step = make_train_step(model, tx, conf.train.mixed_precision)
+    if k_steps > 1:
+        train_step = jax.jit(make_multi_step(base_step, k_steps))
+    else:
+        train_step = jax.jit(base_step)
     eval_step = jax.jit(make_eval_step(model))
 
     # save resolved conf + a source snapshot for reproducibility
@@ -450,13 +491,24 @@ def training(conf: Config, output_dir: Path, args):
 
             t_start = time.time()
             n_samples = 0
+            pending: list = []
             for it, batch in enumerate(train_loader):
-                batch_dev = shard_batch(strip_non_arrays(prepare_batch(batch)), mesh)
+                if k_steps > 1:
+                    pending.append(strip_non_arrays(prepare_batch(batch)))
+                    if len(pending) < k_steps and it < len(train_loader) - 1:
+                        continue
+                    # pad the tail by repeating the last batch
+                    while len(pending) < k_steps:
+                        pending.append(pending[-1])
+                    batch_dev = shard_batch(stack_batches(pending), mesh, axis=1)
+                    pending = []
+                else:
+                    batch_dev = shard_batch(strip_non_arrays(prepare_batch(batch)), mesh)
                 step_rng = jax.random.fold_in(rng_key, total_iter)
                 variables, opt_state, losses, metrics, info = train_step(
                     variables, opt_state, batch_dev, step_rng
                 )
-                n_samples += train_bs
+                n_samples += train_bs * k_steps
                 if it % conf.train.log_every_iter == 0:
                     losses_np = {k: float(v) for k, v in losses.items()}
                     lr = float(schedule(total_iter))

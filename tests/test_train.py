@@ -114,3 +114,20 @@ def test_overfit_loss_decreases(tiny_conf, tmp_path):
     # frozen extractor: SuperPoint params must be unchanged
     # (trainable: False -> masked out of the optimizer)
     assert float(metrics["match_recall"]) >= 0.0
+
+
+def test_multi_step_dispatch(tiny_conf, tmp_path):
+    """steps_per_dispatch>1: K chained optimizer steps in one jitted call
+    must train equivalently (loss decreases, checkpoints written)."""
+    from gluefactory_tpu.core.config import merge
+
+    conf = merge(tiny_conf, {"train": {"epochs": 2, "steps_per_dispatch": 2},
+                             "data": {"train_size": 8, "train_batch_size": 4}})
+    args = main_args(["test_exp_k2", "--no_tensorboard", "--max_val_iters", "1"])
+    out_dir = tmp_path / "exp_k2"
+    variables = training(conf, out_dir, args)
+    import jax
+
+    for leaf in jax.tree.leaves(variables["params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert (out_dir / "checkpoint_best.msgpack").exists()
