@@ -1,0 +1,110 @@
+"""On-device synthetic homography-pair generation (the BASELINE.json
+"on-device warp augmentation" goal).
+
+The host pipeline (data/homographies.py) samples homographies and warps with
+cv2 in data workers. This module does the same INSIDE the jitted train step:
+the loader only streams source images; corner sampling, DLT, perspective
+warping, and photometric jitter all run on the TPU — the host data path
+reduces to image decoding.
+
+Sampler design (jit-safe; no rejection loops): target-patch corners are
+perturbed by bounded uniform offsets (<= difficulty/2 of the patch extent per
+corner, which keeps the quadrilateral convex by construction), then randomly
+translated inside the source frame; the homography comes from the batched
+4-point DLT. This matches the reference sampler's difficulty semantics
+(`geometry/homography.py:40-107`) with compiler-friendly control flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.homography import compute_homography_dlt
+from ..ops.warp import photometric_jitter, warp_perspective
+
+
+def sample_corner_homographies(
+    rng, batch: int, source_size, patch_size, difficulty: float = 0.5,
+    translation: float = 1.0, dtype=jnp.float32,
+):
+    """Sample (B, 3, 3) homographies mapping SOURCE pixel coords to PATCH
+    pixel coords (cv2.warpPerspective convention used by `warp_perspective`)."""
+    sw, sh = float(source_size[0]), float(source_size[1])
+    pw, ph = float(patch_size[0]), float(patch_size[1])
+    k_pert, k_trans = jax.random.split(rng)
+
+    # base source quadrilateral: centered patch of fractional size (1 - difficulty/2)
+    margin_x = sw * difficulty / 2.0
+    margin_y = sh * difficulty / 2.0
+    base = jnp.asarray(
+        [[0.0, 0.0], [sw, 0.0], [sw, sh], [0.0, sh]], dtype
+    )  # source frame corners
+    inner = jnp.asarray(
+        [
+            [margin_x, margin_y],
+            [sw - margin_x, margin_y],
+            [sw - margin_x, sh - margin_y],
+            [margin_x, sh - margin_y],
+        ],
+        dtype,
+    )
+    # each inner corner moves toward its frame corner by u in [0, 1):
+    # offsets stay within the per-corner quadrant => always convex
+    u = jax.random.uniform(k_pert, (batch, 4, 2), dtype=dtype)
+    quad = inner[None] + u * (base - inner)[None]
+
+    # random global translation, keeping the quad inside the frame
+    left = quad[:, :, 0].min(axis=1)
+    right = sw - quad[:, :, 0].max(axis=1)
+    top = quad[:, :, 1].min(axis=1)
+    bottom = sh - quad[:, :, 1].max(axis=1)
+    t = jax.random.uniform(k_trans, (batch, 2), dtype=dtype, minval=-1.0, maxval=1.0)
+    tx = translation * jnp.where(t[:, 0] < 0, t[:, 0] * left, t[:, 0] * right)
+    ty = translation * jnp.where(t[:, 1] < 0, t[:, 1] * top, t[:, 1] * bottom)
+    quad = quad + jnp.stack([tx, ty], axis=-1)[:, None, :]
+
+    patch_corners = jnp.asarray(
+        [[0.0, 0.0], [pw, 0.0], [pw, ph], [0.0, ph]], dtype
+    )
+    patch_corners = jnp.tile(patch_corners[None], (batch, 1, 1))
+    # H maps source -> patch
+    return compute_homography_dlt(quad, patch_corners)
+
+
+def generate_homography_pairs(
+    source_images: jnp.ndarray,
+    rng,
+    patch_size=(640, 480),
+    difficulty: float = 0.5,
+    translation: float = 1.0,
+    photometric_strength: float = 0.5,
+):
+    """source_images (B, H, W, C) -> a two-view train batch with exact
+    `H_0to1`, all on device."""
+    B = source_images.shape[0]
+    sh, sw = source_images.shape[1:3]
+    k0, k1, kp0, kp1 = jax.random.split(rng, 4)
+    H0 = sample_corner_homographies(
+        k0, B, (sw, sh), patch_size, difficulty, translation,
+        dtype=jnp.float32,
+    )
+    H1 = sample_corner_homographies(
+        k1, B, (sw, sh), patch_size, difficulty, translation,
+        dtype=jnp.float32,
+    )
+    img0 = warp_perspective(source_images, H0, patch_size)
+    img1 = warp_perspective(source_images, H1, patch_size)
+    if photometric_strength > 0:
+        img0 = photometric_jitter(img0, kp0, photometric_strength)
+        img1 = photometric_jitter(img1, kp1, photometric_strength)
+    size = jnp.tile(
+        jnp.asarray([[float(patch_size[0]), float(patch_size[1])]], jnp.float32),
+        (B, 1),
+    )
+    H_0to1 = H1 @ jnp.linalg.inv(H0)
+    return {
+        "view0": {"image": img0.astype(source_images.dtype), "image_size": size},
+        "view1": {"image": img1.astype(source_images.dtype), "image_size": size},
+        "H_0to1": H_0to1,
+    }

@@ -125,6 +125,18 @@ class _HomographyTorchDataset:
         else:
             rng = np.random.default_rng()
         img = self._read_image(idx)
+        if conf.emit_source:
+            # on-device augmentation mode: ship the source image only;
+            # warps + photometric jitter run inside the train step
+            # (train.device_augment, data/device_homography.py)
+            sw, sh = conf.source_size
+            if img.shape[0] != sh or img.shape[1] != sw:
+                img = cv2.resize(img, (sw, sh))
+            return {
+                "source_image": img.astype(np.float32),
+                "idx": idx,
+                "name": str(self.image_names[idx]),
+            }
         aug = self.parent.photo_augment
         n_views = 3 if conf.triplet else 2
         views = [self._sample_view(img, rng, aug) for _ in range(n_views)]
@@ -160,6 +172,7 @@ class HomographyDataset(BaseDataset):
         "triplet": False,
         "reseed": True,
         "seed": 0,
+        "emit_source": False,  # ship source images for on-device augmentation
         "homography": {
             "difficulty": 0.8,
             "translation": 1.0,

@@ -78,6 +78,10 @@ default_train_conf = {
     # stacked batches): amortizes per-dispatch overhead — essential on
     # relayed/remote PJRT backends, harmless on local chips
     "steps_per_dispatch": 1,
+    # on-device synthetic-pair generation (data/device_homography.py): the
+    # loader streams source images only (data.emit_source: true); warps +
+    # photometric jitter run inside the train step
+    "device_augment": None,  # e.g. {name: homography, patch_size: [640, 480]}
     "log_grad_every_iter": None,  # log gradient-norm histograms
     "plot": None,  # [every_n_evals, "dotted.path.to.figure_fn"]
     "run_benchmarks": [],  # benchmark names to run per epoch (e.g. ["hpatches"])
@@ -247,10 +251,14 @@ class SigIntHandler:
         signal.signal(signal.SIGINT, self._prev)
 
 
-def make_train_step(model, tx, mixed_precision=None):
+def make_train_step(model, tx, mixed_precision=None, device_augment=None):
     def train_step(variables, opt_state, batch, rng):
         params = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}
+
+        if device_augment and "source_image" in batch:
+            rng, aug_rng = jax.random.split(rng)
+            batch = apply_device_augment(batch, aug_rng, device_augment)
 
         def loss_fn(p):
             p_fwd = p
@@ -335,8 +343,24 @@ def stack_batches(batches: list):
     return jax.tree.map(lambda *xs: _np.stack(xs, axis=0), *batches)
 
 
-def make_eval_step(model):
+def apply_device_augment(batch, rng, device_augment):
+    from .data.device_homography import generate_homography_pairs
+
+    gen = generate_homography_pairs(
+        batch["source_image"],
+        rng,
+        patch_size=tuple(device_augment.get("patch_size", (640, 480))),
+        difficulty=device_augment.get("difficulty", 0.5),
+        translation=device_augment.get("translation", 1.0),
+        photometric_strength=device_augment.get("photometric_strength", 0.5),
+    )
+    return {**{k: v for k, v in batch.items() if k != "source_image"}, **gen}
+
+
+def make_eval_step(model, device_augment=None):
     def eval_step(variables, batch, rng):
+        if device_augment and "source_image" in batch:
+            batch = apply_device_augment(batch, jax.random.fold_in(rng, 7), device_augment)
         outs, _ = model.apply(
             variables,
             batch,
@@ -417,6 +441,13 @@ def training(conf: Config, output_dir: Path, args):
 
     init_batch = next(iter(train_loader))
     init_batch_dev = strip_non_arrays(prepare_batch(init_batch))
+    if conf.train.device_augment and "source_image" in init_batch_dev:
+        init_batch_dev = apply_device_augment(
+            {k: jnp.asarray(v) if not isinstance(v, jnp.ndarray) else v
+             for k, v in init_batch_dev.items()},
+            jax.random.key(0),
+            conf.train.device_augment,
+        )
     init_rng, sample_rng, rng_key = jax.random.split(rng_key, 3)
     with jax.default_device(jax.devices()[0]):
         variables = model.init(
@@ -455,12 +486,14 @@ def training(conf: Config, output_dir: Path, args):
     # NOTE: no donate_argnums — buffer donation is unsupported/unreliable
     # through relayed PJRT backends; revisit for real pods (memory win only).
     k_steps = max(int(conf.train.steps_per_dispatch), 1)
-    base_step = make_train_step(model, tx, conf.train.mixed_precision)
+    base_step = make_train_step(
+        model, tx, conf.train.mixed_precision, conf.train.device_augment
+    )
     if k_steps > 1:
         train_step = jax.jit(make_multi_step(base_step, k_steps))
     else:
         train_step = jax.jit(base_step)
-    eval_step = jax.jit(make_eval_step(model))
+    eval_step = jax.jit(make_eval_step(model, conf.train.device_augment))
 
     # save resolved conf + a source snapshot for reproducibility
     # (role of reference train.py:723-726 module-source snapshotting)
