@@ -153,11 +153,13 @@ class MatchAssignment(nn.Module):
 
 class TokenConfidence(nn.Module):
     @nn.compact
-    def __call__(self, desc0, desc1):
+    def __call__(self, desc0, desc1, return_logits: bool = False):
         token = nn.Dense(1, name="token")
-        c0 = jax.nn.sigmoid(token(desc0).squeeze(-1))
-        c1 = jax.nn.sigmoid(token(desc1).squeeze(-1))
-        return c0, c1
+        l0 = token(desc0).squeeze(-1).astype(jnp.float32)
+        l1 = token(desc1).squeeze(-1).astype(jnp.float32)
+        if return_logits:
+            return l0, l1
+        return jax.nn.sigmoid(l0), jax.nn.sigmoid(l1)
 
 
 class LightGlue(BaseModel):
@@ -425,12 +427,15 @@ class LightGlue(BaseModel):
                 )
                 correct0 = (m0_i == final_m0).astype(jnp.float32)
                 correct1 = (m1_i == final_m1).astype(jnp.float32)
-                c0, c1 = self.token_confidence[i](
+                l0, l1 = self.token_confidence[i](
                     jax.lax.stop_gradient(pred["ref_descriptors0"][:, i]),
                     jax.lax.stop_gradient(pred["ref_descriptors1"][:, i]),
+                    return_logits=True,
                 )
-                bce0 = -(correct0 * jnp.log(c0 + 1e-8) + (1 - correct0) * jnp.log(1 - c0 + 1e-8))
-                bce1 = -(correct1 * jnp.log(c1 + 1e-8) + (1 - correct1) * jnp.log(1 - c1 + 1e-8))
+                # stable logit-space BCE in fp32: log(sigmoid(l) + eps) in
+                # bf16 underflows (eps rounds to 0) and produced NaNs
+                bce0 = jnp.clip(l0, 0) - l0 * correct0 + jnp.log1p(jnp.exp(-jnp.abs(l0)))
+                bce1 = jnp.clip(l1, 0) - l1 * correct1 + jnp.log1p(jnp.exp(-jnp.abs(l1)))
                 if mask0 is not None:
                     bce0 = (bce0 * mask0).sum(-1) / jnp.maximum(mask0.sum(-1), 1)
                 else:

@@ -291,11 +291,19 @@ def make_train_step(model, tx, mixed_precision=None, device_augment=None):
             loss_fn, has_aux=True
         )(params)
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
-        ok = jnp.isfinite(loss)
         safe_grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g).all(), g, 0.0), grads)
         updates_opt, new_opt_state = tx.update(safe_grads, opt_state, params)
         new_params = optax.apply_updates(params, updates_opt)
-        # skip the whole update on non-finite loss (reference train.py:477-488)
+        # skip the whole update on non-finite loss OR non-finite updated
+        # params (reference train.py:477-515 NaN-skip + error_if_nonfinite) —
+        # a finite-loss step can still blow params up; without the post-check
+        # the poisoned params freeze the run permanently
+        params_ok = jax.tree_util.tree_reduce(
+            jnp.logical_and,
+            jax.tree.map(lambda a: jnp.isfinite(a).all(), new_params),
+            jnp.bool_(True),
+        )
+        ok = jnp.isfinite(loss) & params_ok
         new_params = jax.tree.map(lambda a, b: jnp.where(ok, a, b), new_params, params)
         new_opt_state = jax.tree.map(
             lambda a, b: jnp.where(ok, a, b) if isinstance(a, jnp.ndarray) else a,
