@@ -213,3 +213,32 @@ class HomographyDataset(BaseDataset):
 
     def get_dataset(self, split: str):
         return _HomographyTorchDataset(self, split)
+
+
+if __name__ == "__main__":
+    # dataset visualizer (reference datasets/homographies.py:282-312)
+    import argparse
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..visualization.viz2d import plot_image_grid
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num_items", type=int, default=4)
+    parser.add_argument("--synthetic", type=int, default=8)
+    parser.add_argument("--out", type=str, default="homographies_samples.png")
+    args = parser.parse_args()
+    ds = HomographyDataset(
+        {"synthetic_images": args.synthetic, "train_size": args.num_items, "val_size": 2}
+    )
+    tds = ds.get_dataset("train")
+    rows = []
+    for i in range(min(args.num_items, len(tds))):
+        item = tds[i]
+        rows.append([item["view0"]["image"], item["view1"]["image"]])
+    plot_image_grid(rows)
+    plt.savefig(args.out, dpi=120)
+    print(f"wrote {args.out}")

@@ -108,3 +108,29 @@ class HPatchesDataset(BaseDataset):
     def get_dataset(self, split: str):
         assert split in ("val", "test")
         return _HPatchesItems(self, self.items)
+
+
+if __name__ == "__main__":
+    # dataset visualizer (reference datasets/hpatches.py:118-148)
+    import argparse
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..visualization.viz2d import plot_image_grid
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num_items", type=int, default=4)
+    parser.add_argument("--out", type=str, default="hpatches_samples.png")
+    args = parser.parse_args()
+    ds = HPatchesDataset({})
+    tds = ds.get_dataset("test")
+    rows = []
+    for i in range(min(args.num_items, len(tds))):
+        item = tds[i]
+        rows.append([item["view0"]["image"], item["view1"]["image"]])
+    plot_image_grid(rows)
+    plt.savefig(args.out, dpi=120)
+    print(f"wrote {args.out}")
