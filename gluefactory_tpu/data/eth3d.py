@@ -9,8 +9,6 @@ SOLD2 `ETH3D_undistorted` export under DATA_PATH.
 from __future__ import annotations
 
 import os
-from pathlib import Path
-
 import cv2
 import numpy as np
 

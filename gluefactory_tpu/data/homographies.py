@@ -22,7 +22,7 @@ import numpy as np
 from ..settings import DATA_PATH
 from .augmentations import augmentations
 from .base_dataset import BaseDataset
-from ..geometry.homography import compute_homography_np, sample_homography_corners
+from ..geometry.homography import sample_homography_corners
 
 
 def generate_synthetic_image(seed: int, size=(640, 480)) -> np.ndarray:

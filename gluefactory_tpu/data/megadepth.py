@@ -16,8 +16,6 @@ files under `scene_lists/`.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import h5py
 import numpy as np
 

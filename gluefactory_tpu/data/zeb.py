@@ -14,7 +14,7 @@ import numpy as np
 
 from ..settings import DATA_PATH
 from .base_dataset import BaseDataset
-from .geometry_io import invert_pose, scale_camera_dict
+from .geometry_io import scale_camera_dict
 from .image_pairs import parse_camera, parse_relative_pose
 from .preprocess import ImagePreprocessor, read_image
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .utils import distort_points, from_homogeneous, to_homogeneous, undistort_points
+from .utils import distort_points, to_homogeneous, undistort_points
 
 
 @jax.tree_util.register_pytree_node_class

@@ -21,8 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.assignment import NEG_INF, log_double_softmax
-from ...ops.attention import mha
+from ...ops.assignment import log_double_softmax
 from ..base_model import BaseModel
 from .lightglue import normalize_keypoints
 from .superglue import MLP, AttentionalPropagation

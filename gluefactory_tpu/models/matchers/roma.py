@@ -10,8 +10,6 @@ clear error otherwise.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..base_model import BaseModel
 
 

@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..geometry.homography import compute_homography_dlt, sym_homography_error_all
+from ..geometry.homography import compute_homography_dlt
 from ..geometry.utils import to_homogeneous
 
 

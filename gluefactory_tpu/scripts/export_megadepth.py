@@ -12,8 +12,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
-
 import numpy as np
 
 from .. import logger

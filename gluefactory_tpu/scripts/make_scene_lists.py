@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import argparse
 import hashlib
-from pathlib import Path
-
 from ..settings import DATA_PATH
 
 

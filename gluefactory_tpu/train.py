@@ -27,7 +27,6 @@ import re
 import signal
 import time
 from collections import defaultdict
-from functools import partial
 from pathlib import Path
 
 import jax
