@@ -203,3 +203,33 @@ def test_gluestick_inter_supervision():
     losses, _ = gs.apply(variables, pred, data, method="loss")
     assert "nll_lines_1" in losses
     assert np.isfinite(np.asarray(losses["total"])).all()
+
+
+def test_gt_line_matches_from_pose_depth():
+    """Flat fronto-parallel scene: lines shifted by a pure translation must
+    match 1:1 through the depth-based line GT."""
+    from gluefactory_tpu.geometry.gt_lines import gt_line_matches_from_pose_depth
+    from gluefactory_tpu.geometry.wrappers import Camera, Pose
+
+    rng = np.random.default_rng(7)
+    W = H = 64
+    f = 100.0
+    cam = Camera(
+        size=jnp.asarray([[float(W), float(H)]]),
+        f=jnp.asarray([[f, f]]),
+        c=jnp.asarray([[W / 2.0, H / 2.0]]),
+    )
+    depth = jnp.full((1, H, W), 5.0)
+    t = np.array([0.5, 0.0, 0.0], np.float32)  # shifts pixels by f*t/z = 10px
+    T = Pose(jnp.eye(3)[None], jnp.asarray(t[None]))
+    L = 5
+    p0 = rng.uniform(15, 35, (1, L, 2)).astype(np.float32)
+    d = rng.uniform(-10, 10, (1, L, 2)).astype(np.float32)
+    lines0 = jnp.asarray(np.stack([p0, p0 + d], axis=2))
+    shift = f * t[0] / 5.0  # +10 px in x
+    lines1 = lines0 + jnp.asarray([shift, 0.0])
+    mask = jnp.ones((1, L), bool)
+    out = gt_line_matches_from_pose_depth(
+        lines0, lines1, mask, mask, cam, cam, T, depth, depth
+    )
+    np.testing.assert_array_equal(np.asarray(out["matches0"])[0], np.arange(L))
