@@ -9,6 +9,8 @@ detector score (reference lsd.py:44).
 
 from __future__ import annotations
 
+import threading
+
 import cv2
 import jax
 import jax.numpy as jnp
@@ -16,12 +18,24 @@ import numpy as np
 
 from ..base_model import BaseModel
 
+# OpenCV's LSD is not re-entrant; under a multi-device mesh, XLA invokes the
+# pure_callback concurrently from several threads (one per device shard) and
+# concurrent LSD detection aborts the process. Serialize detection.
+_LSD_LOCK = threading.Lock()
+
 
 def detect_lsd_host(
     images: np.ndarray, max_lines: int, min_length: float
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """images (B, H, W, C) float [0,1] -> (lines (B, L, 2, 2) xy,
     scores (B, L), valid (B, L))."""
+    with _LSD_LOCK:
+        return _detect_lsd_host_locked(images, max_lines, min_length)
+
+
+def _detect_lsd_host_locked(
+    images: np.ndarray, max_lines: int, min_length: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     B = images.shape[0]
     L = max_lines
     out_lines = np.zeros((B, L, 2, 2), np.float32)
