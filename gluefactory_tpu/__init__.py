@@ -31,6 +31,16 @@ def _setup_logger():
 
 _setup_logger()
 
+# OpenCV's internal thread pool races with XLA pure_callback threads and the
+# data-loader threads (observed: hard aborts inside LSD under a multi-device
+# mesh). Host cv2 ops here are small; run them single-threaded.
+try:
+    import cv2 as _cv2
+
+    _cv2.setNumThreads(0)
+except Exception:  # pragma: no cover - cv2 always present in this env
+    pass
+
 
 def load_experiment(exper, conf=None, get_last=False, ckpt=None):
     """Load and return the model of a completed experiment (lazy import)."""

@@ -105,11 +105,14 @@ class BaseAugmentation:
         self.conf = merge(Config(self.default_conf), conf or {})
 
     def __call__(self, image: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
+        from ..utils.hostlock import CV2_LOCK
+
         if rng is None:
             rng = np.random.default_rng()
         if image.shape[-1] == 1:
             image = np.repeat(image, 3, axis=-1)
-        return self.apply(image, rng)
+        with CV2_LOCK:
+            return self.apply(image, rng)
 
     def apply(self, image, rng):
         return image

@@ -27,6 +27,13 @@ from ..geometry.homography import sample_homography_corners
 
 def generate_synthetic_image(seed: int, size=(640, 480)) -> np.ndarray:
     """Procedural textured image: random affine checkers + blobs + gradients."""
+    from ..utils.hostlock import CV2_LOCK
+
+    with CV2_LOCK:
+        return _generate_synthetic_image_locked(seed, size)
+
+
+def _generate_synthetic_image_locked(seed: int, size=(640, 480)) -> np.ndarray:
     rng = np.random.default_rng(seed)
     w, h = size
     img = np.zeros((h, w, 3), np.float32)
@@ -55,8 +62,11 @@ def generate_synthetic_image(seed: int, size=(640, 480)) -> np.ndarray:
 
 
 def warp_patch(img: np.ndarray, H: np.ndarray, patch_shape) -> np.ndarray:
+    from ..utils.hostlock import CV2_LOCK
+
     pw, ph = patch_shape
-    out = cv2.warpPerspective(img, H, (int(pw), int(ph)), flags=cv2.INTER_LINEAR)
+    with CV2_LOCK:
+        out = cv2.warpPerspective(img, H, (int(pw), int(ph)), flags=cv2.INTER_LINEAR)
     if out.ndim == 2:
         out = out[..., None]
     return out

@@ -17,14 +17,17 @@ from ..core.config import Config, merge
 
 def read_image(path: str | Path, grayscale: bool = False) -> np.ndarray:
     """Read an image as float32 HWC RGB (or HW1 gray) in [0, 1]."""
+    from ..utils.hostlock import CV2_LOCK
+
     mode = cv2.IMREAD_GRAYSCALE if grayscale else cv2.IMREAD_COLOR
-    img = cv2.imread(str(path), mode)
-    if img is None:
-        raise IOError(f"could not read image {path}")
-    if grayscale:
-        img = img[..., None]
-    else:
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    with CV2_LOCK:
+        img = cv2.imread(str(path), mode)
+        if img is None:
+            raise IOError(f"could not read image {path}")
+        if grayscale:
+            img = img[..., None]
+        else:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     return img.astype(np.float32) / 255.0
 
 
@@ -38,7 +41,10 @@ def resize_image(img: np.ndarray, size, interp: str = "linear"):
         "nearest": cv2.INTER_NEAREST,
         "area": cv2.INTER_AREA,
     }[interp]
-    resized = cv2.resize(img, (int(nw), int(nh)), interpolation=flag)
+    from ..utils.hostlock import CV2_LOCK
+
+    with CV2_LOCK:
+        resized = cv2.resize(img, (int(nw), int(nh)), interpolation=flag)
     if resized.ndim == 2:
         resized = resized[..., None]
     scales = np.array([nw / w, nh / h], dtype=np.float32)

@@ -9,19 +9,13 @@ detector score (reference lsd.py:44).
 
 from __future__ import annotations
 
-import threading
-
 import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...utils.hostlock import CV2_LOCK as _LSD_LOCK
 from ..base_model import BaseModel
-
-# OpenCV's LSD is not re-entrant; under a multi-device mesh, XLA invokes the
-# pure_callback concurrently from several threads (one per device shard) and
-# concurrent LSD detection aborts the process. Serialize detection.
-_LSD_LOCK = threading.Lock()
 
 
 def detect_lsd_host(
@@ -29,8 +23,21 @@ def detect_lsd_host(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """images (B, H, W, C) float [0,1] -> (lines (B, L, 2, 2) xy,
     scores (B, L), valid (B, L))."""
-    with _LSD_LOCK:
-        return _detect_lsd_host_locked(images, max_lines, min_length)
+    # NOTE: an exception escaping an XLA pure_callback thread aborts the
+    # whole process — never let one escape; degrade to "no lines detected".
+    try:
+        with _LSD_LOCK:
+            return _detect_lsd_host_locked(images, max_lines, min_length)
+    except Exception as e:  # pragma: no cover - defensive
+        import sys
+
+        print(f"[lsd] detection failed, returning no lines: {e}", file=sys.stderr)
+        B, L = images.shape[0], max_lines
+        return (
+            np.zeros((B, L, 2, 2), np.float32),
+            np.zeros((B, L), np.float32),
+            np.zeros((B, L), bool),
+        )
 
 
 def _detect_lsd_host_locked(
@@ -87,9 +94,11 @@ class LSD(BaseModel):
             jax.ShapeDtypeStruct((B, L), jnp.float32),
             jax.ShapeDtypeStruct((B, L), jnp.bool_),
         )
+        from ...utils.hostlock import run_on_host_worker
+
         lines, scores, valid = jax.pure_callback(
-            lambda img: detect_lsd_host(
-                np.asarray(img), L, float(self.conf.min_length)
+            lambda img: run_on_host_worker(
+                detect_lsd_host, np.asarray(img), L, float(self.conf.min_length)
             ),
             shapes,
             image,

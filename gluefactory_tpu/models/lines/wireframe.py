@@ -67,18 +67,30 @@ def cluster_endpoints_host(lines: np.ndarray, valid: np.ndarray, radius: float):
 
 
 def wireframe_host(images: np.ndarray, max_lines: int, min_length: float, radius: float):
-    """Full host side: LSD + endpoint clustering, batched."""
-    lines, scores, valid = detect_lsd_host(images, max_lines, min_length)
-    B, L = scores.shape
+    """Full host side: LSD + endpoint clustering, batched.
+
+    Must NEVER raise: an exception escaping an XLA pure_callback thread
+    aborts the process. Failures degrade to "no lines"."""
+    B = images.shape[0]
+    L = max_lines
     J = 2 * L
+    lines = np.zeros((B, L, 2, 2), np.float32)
+    scores = np.zeros((B, L), np.float32)
+    valid = np.zeros((B, L), bool)
     junctions = np.zeros((B, J, 2), np.float32)
     junc_counts = np.zeros((B, J), np.float32)
     junc_valid = np.zeros((B, J), bool)
     junc_idx = np.zeros((B, L, 2), np.int32)
-    for b in range(B):
-        junctions[b], junc_counts[b], junc_valid[b], junc_idx[b] = (
-            cluster_endpoints_host(lines[b], valid[b], radius)
-        )
+    try:
+        lines, scores, valid = detect_lsd_host(images, max_lines, min_length)
+        for b in range(B):
+            junctions[b], junc_counts[b], junc_valid[b], junc_idx[b] = (
+                cluster_endpoints_host(lines[b], valid[b], radius)
+            )
+    except Exception as e:  # pragma: no cover - defensive
+        import sys
+
+        print(f"[wireframe] host step failed, returning empty: {e}", file=sys.stderr)
     return lines, scores, valid, junctions, junc_counts, junc_valid, junc_idx
 
 
@@ -126,14 +138,34 @@ class WireframeExtractor(BaseModel):
             jax.ShapeDtypeStruct((B, J), jnp.bool_),  # junction mask
             jax.ShapeDtypeStruct((B, L, 2), jnp.int32),  # lines_junc_idx
         )
+        from ...utils.hostlock import run_on_host_worker
+
+        def _host(img):
+            # bulletproof: nothing may escape an XLA callback thread
+            try:
+                return run_on_host_worker(
+                    wireframe_host,
+                    np.asarray(img), L, float(c.min_length), float(c.nms_radius),
+                )
+            except BaseException as e:  # pragma: no cover - defensive
+                import sys
+                import traceback
+
+                print(f"[wireframe] callback failed: {e}", file=sys.stderr)
+                traceback.print_exc()
+                B_ = np.asarray(img).shape[0]
+                return (
+                    np.zeros((B_, L, 2, 2), np.float32),
+                    np.zeros((B_, L), np.float32),
+                    np.zeros((B_, L), bool),
+                    np.zeros((B_, 2 * L, 2), np.float32),
+                    np.zeros((B_, 2 * L), np.float32),
+                    np.zeros((B_, 2 * L), bool),
+                    np.zeros((B_, L, 2), np.int32),
+                )
+
         (lines, line_scores, line_mask, junctions, junc_counts, junc_mask, junc_idx) = (
-            jax.pure_callback(
-                lambda img: wireframe_host(
-                    np.asarray(img), L, float(c.min_length), float(c.nms_radius)
-                ),
-                shapes,
-                image,
-            )
+            jax.pure_callback(_host, shapes, image)
         )
 
         # mask keypoints that fall near a junction (reference wireframe.py:186-216)
