@@ -19,9 +19,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.homography import compute_homography_dlt
-from ..ops.warp import photometric_jitter, warp_perspective
+from ..ops.warp import photometric_jitter, warp_perspective, warp_perspective_tiled
 
 
 def sample_corner_homographies(
@@ -79,9 +80,13 @@ def generate_homography_pairs(
     difficulty: float = 0.5,
     translation: float = 1.0,
     photometric_strength: float = 0.5,
+    warp_impl: str = "tiled",
 ):
     """source_images (B, H, W, C) -> a two-view train batch with exact
-    `H_0to1`, all on device."""
+    `H_0to1`, all on device.
+
+    `warp_impl`: "tiled" (default; MXU matmul formulation — the fast TPU
+    path) or "gather" (per-pixel gathers; exact everywhere, slow on TPU)."""
     B = source_images.shape[0]
     sh, sw = source_images.shape[1:3]
     k0, k1, kp0, kp1 = jax.random.split(rng, 4)
@@ -93,8 +98,27 @@ def generate_homography_pairs(
         k1, B, (sw, sh), patch_size, difficulty, translation,
         dtype=jnp.float32,
     )
-    img0 = warp_perspective(source_images, H0, patch_size)
-    img1 = warp_perspective(source_images, H1, patch_size)
+    if warp_impl == "tiled":
+        # window sized for the sampler above: the source footprint of a
+        # (16, 128) output tile is bounded by the patch->source scale
+        # (quad <= source frame) plus rotation/perspective spread
+        sx = max(1.0, sw / float(patch_size[0]))
+        sy = max(1.0, sh / float(patch_size[1]))
+        win = (
+            min(
+                int(np.ceil((16 * sy + 128 * sx * 0.6) / 8 + 1) * 8),
+                int(np.ceil(sh / 8) * 8),
+            ),
+            min(
+                int(np.ceil((128 * sx + 16 * sy * 0.6) / 128 + 1) * 128),
+                int(np.ceil(sw / 128) * 128),
+            ),
+        )
+        warp = lambda im, H: warp_perspective_tiled(im, H, patch_size, window=win)
+    else:
+        warp = lambda im, H: warp_perspective(im, H, patch_size)
+    img0 = warp(source_images, H0)
+    img1 = warp(source_images, H1)
     if photometric_strength > 0:
         img0 = photometric_jitter(img0, kp0, photometric_strength)
         img1 = photometric_jitter(img1, kp1, photometric_strength)

@@ -121,12 +121,23 @@ class _HomographyTorchDataset:
         patch = aug(patch, rng)
         if self.conf.grayscale:
             patch = cv2.cvtColor(patch, cv2.COLOR_RGB2GRAY)[..., None]
-        return {
+        view = {
             "image": patch.astype(np.float32),
             "image_size": np.array(patch_shape, dtype=np.float32),
             "H_": H.astype(np.float32),
             "coords": np.array(patch_shape, np.float32),
         }
+        dl = self.conf.detect_lines
+        if dl.do:
+            from ..models.lines.wireframe import precompute_wireframe
+
+            view.update(
+                precompute_wireframe(
+                    patch.astype(np.float32),
+                    dl.max_num_lines, dl.min_length, dl.nms_radius,
+                )
+            )
+        return view
 
     def __getitem__(self, idx: int) -> dict:
         conf = self.conf
@@ -153,8 +164,7 @@ class _HomographyTorchDataset:
         data = {}
         for i, v in enumerate(views):
             data[f"view{i}"] = {
-                "image": v["image"],
-                "image_size": v["image_size"],
+                k: v[k] for k in v.keys() if k not in ("H_", "coords")
             }
         # exact patch-to-patch homography: H_0to1 = H1 @ H0^-1
         H0, H1 = views[0]["H_"], views[1]["H_"]
@@ -192,6 +202,15 @@ class HomographyDataset(BaseDataset):
             "min_convexity": 0.05,
         },
         "photometric": {"name": "lg", "p": 0.95},
+        # precompute LSD lines + wireframe junctions per view in the data
+        # workers (for GlueStick training): the jitted train step then needs
+        # no host callback. Must mirror the wireframe extractor's conf.
+        "detect_lines": {
+            "do": False,
+            "max_num_lines": 250,
+            "min_length": 15.0,
+            "nms_radius": 3.0,
+        },
     }
 
     def _init(self, conf):

@@ -70,6 +70,15 @@ class MegaDepth(BaseDataset):
         "seed": 0,
         # features from cache
         "load_features": {"do": False, **CacheLoader.default_conf},
+        # precompute LSD lines + wireframe junctions per view in the data
+        # workers (GlueStick training without host callbacks in the step);
+        # must mirror the wireframe extractor's conf
+        "detect_lines": {
+            "do": False,
+            "max_num_lines": 250,
+            "min_length": 15.0,
+            "nms_radius": 3.0,
+        },
     }
 
     def _init(self, conf):
@@ -281,6 +290,16 @@ class _MegaDepthItems:
         data["camera"] = camera_dict_from_K(
             K, data["image_size"][0], data["image_size"][1]
         )
+
+        dl = conf.detect_lines
+        if dl.do and conf.read_image:
+            from ..models.lines.wireframe import precompute_wireframe
+
+            data.update(
+                precompute_wireframe(
+                    data["image"], dl.max_num_lines, dl.min_length, dl.nms_radius
+                )
+            )
 
         if self.feature_loader is not None:
             features = self.feature_loader({**data, "scene": scene, "name": path.name})

@@ -27,6 +27,10 @@ def main():
     parser.add_argument("experiments", type=str, nargs="+")
     parser.add_argument("--x", type=str, default=None)
     parser.add_argument("--y", type=str, default=None)
+    parser.add_argument(
+        "--diff", action="store_true",
+        help="plot y as the per-item difference vs the first experiment",
+    )
     args = parser.parse_args()
 
     output_dir = Path(EVAL_PATH, args.benchmark)
@@ -52,7 +56,7 @@ def main():
     pipeline_cls = get_benchmark(args.benchmark)
     loader = pipeline_cls.get_dataloader()
     GlobalFrame(
-        {"x": args.x, "y": args.y}, results, loader, predictions,
+        {"x": args.x, "y": args.y, "diff": args.diff}, results, loader, predictions,
         child_frame=TwoViewFrame,
     )
     plt.show()

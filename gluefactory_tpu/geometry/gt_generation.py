@@ -78,16 +78,31 @@ def gt_matches_from_homography(
     H: jnp.ndarray,
     pos_th: float = 3.0,
     neg_th: float = 6.0,
+    mask0: jnp.ndarray | None = None,
+    mask1: jnp.ndarray | None = None,
 ):
     """GT matches for homography-related views (reference
-    `gt_generation.py:110-161`). kp0 (B, M, 2), kp1 (B, N, 2), H (B, 3, 3)."""
+    `gt_generation.py:110-161`). kp0 (B, M, 2), kp1 (B, N, 2), H (B, 3, 3).
+
+    `maskX` (B, M/N) bool: padding slots. Masked keypoints can never be
+    positives (the padding coordinates are meaningless — wireframe invalid
+    slots all sit at (0,0) and would otherwise cross-match) and are labelled
+    IGNORE, not UNMATCHED, so the loss never supervises them."""
     kp0_1 = warp_points(kp0, H)
     kp1_0 = warp_points(kp1, H, inverse=True)
     # forward and backward reprojection distance, symmetric max
     dist0 = jnp.linalg.norm(kp0_1[..., :, None, :] - kp1[..., None, :, :], axis=-1)
     dist1 = jnp.linalg.norm(kp0[..., :, None, :] - kp1_0[..., None, :, :], axis=-1)
     dist = jnp.maximum(dist0, dist1)
-    return _assignment_from_dists(dist, pos_th, neg_th)
+    if mask0 is not None:
+        dist = jnp.where(mask0[..., :, None], dist, jnp.inf)
+    if mask1 is not None:
+        dist = jnp.where(mask1[..., None, :], dist, jnp.inf)
+    return _assignment_from_dists(
+        dist, pos_th, neg_th,
+        ignore0=None if mask0 is None else ~mask0,
+        ignore1=None if mask1 is None else ~mask1,
+    )
 
 
 def gt_matches_from_pose_depth(
@@ -102,6 +117,8 @@ def gt_matches_from_pose_depth(
     neg_th: float = 5.0,
     epi_th: float | None = None,
     ccth: float | None = None,
+    mask0: jnp.ndarray | None = None,
+    mask1: jnp.ndarray | None = None,
 ):
     """GT matches from relative pose + depth maps (reference
     `gt_generation.py:14-106`).
@@ -110,10 +127,15 @@ def gt_matches_from_pose_depth(
     view, build the symmetric max reprojection-distance matrix, run mutual-NN
     assignment. Keypoints with invalid depth can't be labelled negative by
     reprojection; an epipolar-distance check (threshold `epi_th` px) recovers
-    confident negatives among them, the rest become IGNORE.
+    confident negatives among them, the rest become IGNORE. `maskX`: padding
+    slots — never positive, always IGNORE (see gt_matches_from_homography).
     """
     d0, valid0 = sample_depth(kp0, depth0)
     d1, valid1 = sample_depth(kp1, depth1)
+    if mask0 is not None:
+        valid0 = valid0 & mask0
+    if mask1 is not None:
+        valid1 = valid1 & mask1
 
     kp0_1, vis0 = project(kp0, d0, depth1, camera0, camera1, T_0to1, valid0, ccth=ccth)
     kp1_0, vis1 = project(kp1, d1, depth0, camera1, camera0, T_0to1.inv(), valid1, ccth=ccth)
@@ -141,6 +163,10 @@ def gt_matches_from_pose_depth(
         epi_min1 = epi_px.min(axis=-2)
         unsure0 = ~vis0 & (epi_min0 <= epi_th)
         unsure1 = ~vis1 & (epi_min1 <= epi_th)
+        if mask0 is not None:
+            unsure0 = unsure0 | ~mask0
+        if mask1 is not None:
+            unsure1 = unsure1 | ~mask1
         # invalid-depth rows with small epipolar distance: uncertain -> ignore
         out = _assignment_from_dists(dist, pos_th, neg_th, ignore0=unsure0, ignore1=unsure1)
     else:

@@ -94,6 +94,30 @@ def wireframe_host(images: np.ndarray, max_lines: int, min_length: float, radius
     return lines, scores, valid, junctions, junc_counts, junc_valid, junc_idx
 
 
+def precompute_wireframe(
+    image: np.ndarray, max_lines: int, min_length: float, radius: float
+) -> dict:
+    """Per-item host precompute for the data pipeline: LSD lines + junction
+    clustering on ONE image (H, W, C) float [0,1]. Returns the per-view keys
+    that `WireframeExtractor` consumes directly (no callback in the jitted
+    step) — the structural fix for running line detection inside training
+    (reference runs LSD inside the model, `models/lines/wireframe.py:163`;
+    here training moves it into the data workers like the cached-features
+    path, keeping the in-model callback only for single-shot inference)."""
+    lines, scores, valid, junctions, jc, jv, jidx = wireframe_host(
+        np.asarray(image)[None], int(max_lines), float(min_length), float(radius)
+    )
+    return {
+        "lines": lines[0],
+        "line_scores": scores[0],
+        "line_mask": valid[0],
+        "junctions": junctions[0],
+        "junc_counts": jc[0],
+        "junc_mask": jv[0],
+        "lines_junc_idx": jidx[0],
+    }
+
+
 class WireframeExtractor(BaseModel):
     default_conf = {
         "point_extractor": {
@@ -128,6 +152,22 @@ class WireframeExtractor(BaseModel):
         ppred = self.point_extractor(data, train=train)
         kpts = ppred["keypoints"]  # (B, K, 2)
         K = kpts.shape[1]
+
+        if "lines" in data and "junctions" in data:
+            # wireframe precomputed by the data pipeline (data/*.py
+            # detect_lines conf) — no host callback in the jitted step
+            lines = data["lines"].astype(jnp.float32)
+            line_scores = data["line_scores"].astype(jnp.float32)
+            line_mask = data["line_mask"].astype(jnp.bool_)
+            junctions = data["junctions"].astype(jnp.float32)
+            junc_counts = data["junc_counts"].astype(jnp.float32)
+            junc_mask = data["junc_mask"].astype(jnp.bool_)
+            junc_idx = data["lines_junc_idx"].astype(jnp.int32)
+            return self._assemble(
+                data, ppred, kpts,
+                lines, line_scores, line_mask,
+                junctions, junc_counts, junc_mask, junc_idx,
+            )
 
         shapes = (
             jax.ShapeDtypeStruct((B, L, 2, 2), jnp.float32),  # lines
@@ -167,7 +207,18 @@ class WireframeExtractor(BaseModel):
         (lines, line_scores, line_mask, junctions, junc_counts, junc_mask, junc_idx) = (
             jax.pure_callback(_host, shapes, image)
         )
+        return self._assemble(
+            data, ppred, kpts,
+            lines, line_scores, line_mask,
+            junctions, junc_counts, junc_mask, junc_idx,
+        )
 
+    def _assemble(
+        self, data, ppred, kpts,
+        lines, line_scores, line_mask,
+        junctions, junc_counts, junc_mask, junc_idx,
+    ) -> dict:
+        c = self.conf
         # mask keypoints that fall near a junction (reference wireframe.py:186-216)
         d2 = (
             (kpts[:, :, None, :] - junctions[:, None, :, :]) ** 2

@@ -42,6 +42,8 @@ class DepthMatcher(BaseModel):
                 neg_th=self.conf.th_negative,
                 epi_th=self.conf.th_epi,
                 ccth=self.conf.ccth,
+                mask0=data.get("keypoint_mask0"),
+                mask1=data.get("keypoint_mask1"),
             )
             result["gt_matches0"] = out["matches0"]
             result["gt_matches1"] = out["matches1"]

@@ -35,6 +35,8 @@ class HomographyMatcher(BaseModel):
                 data["H_0to1"],
                 pos_th=self.conf.th_positive,
                 neg_th=self.conf.th_negative,
+                mask0=data.get("keypoint_mask0"),
+                mask1=data.get("keypoint_mask1"),
             )
             result["gt_matches0"] = out["matches0"]
             result["gt_matches1"] = out["matches1"]

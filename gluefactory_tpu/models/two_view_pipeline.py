@@ -92,10 +92,14 @@ class TwoViewPipeline(BaseModel):
         v0, v1 = data["view0"], data["view1"]
         B = v0["image"].shape[0]
         stacked = {"image": jnp.concatenate([v0["image"], v1["image"]], axis=0)}
-        if "image_size" in v0 and "image_size" in v1:
-            stacked["image_size"] = jnp.concatenate(
-                [v0["image_size"], v1["image_size"]], axis=0
-            )
+        # pass through extra per-view array inputs the extractor may consume
+        # (image_size; precomputed wireframe keys from data detect_lines)
+        for k in (
+            "image_size", "lines", "line_scores", "line_mask",
+            "junctions", "junc_counts", "junc_mask", "lines_junc_idx",
+        ):
+            if k in v0 and k in v1:
+                stacked[k] = jnp.concatenate([v0[k], v1[k]], axis=0)
         pred = self.component("extractor")(stacked, train=train)
         if not self.component("extractor").is_trainable:
             pred = self._stop_frozen_gradients(pred)

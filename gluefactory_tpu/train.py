@@ -48,6 +48,7 @@ from .utils.experiments import (
     save_checkpoint,
     update_best_checkpoint,
 )
+from .utils.retry import retry_transient
 from .utils.tools import AverageMetric, MedianMetric, RecallMetric, set_seed
 from .utils.tensor import map_tensor
 
@@ -220,7 +221,26 @@ def shard_batch(batch, mesh: Mesh, axis: int = 0):
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D data-parallel mesh over all devices.
+
+    On multi-slice pods (devices spread across DCN-connected slices) the
+    device order is built slice-major via `create_hybrid_device_mesh`, so
+    XLA's hierarchical all-reduce does the big reductions over ICI within a
+    slice and only the cross-slice combine over DCN (SURVEY §2.10 rebuild
+    mapping / §5.8)."""
     devices = jax.devices()[: n_devices or len(jax.devices())]
+    num_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_devices is None and num_slices > 1:
+        try:
+            from jax.experimental import mesh_utils
+
+            per_slice = len(devices) // num_slices
+            dev_mesh = mesh_utils.create_hybrid_device_mesh(
+                (per_slice,), (num_slices,), devices=devices
+            )
+            return Mesh(dev_mesh.reshape(-1), ("data",))
+        except Exception as e:  # pragma: no cover - topology-dependent
+            logger.warning("hybrid mesh construction failed (%s); flat order", e)
     return Mesh(np.asarray(devices), ("data",))
 
 
@@ -545,12 +565,15 @@ def training(conf: Config, output_dir: Path, args):
                 else:
                     batch_dev = shard_batch(strip_non_arrays(prepare_batch(batch)), mesh)
                 step_rng = jax.random.fold_in(rng_key, total_iter)
-                variables, opt_state, losses, metrics, info = train_step(
-                    variables, opt_state, batch_dev, step_rng
+                # pure dispatch -> safe to re-issue on transient relay errors
+                variables, opt_state, losses, metrics, info = retry_transient(
+                    train_step, variables, opt_state, batch_dev, step_rng
                 )
                 n_samples += train_bs * k_steps
                 if it % conf.train.log_every_iter == 0:
-                    losses_np = {k: float(v) for k, v in losses.items()}
+                    losses_np = retry_transient(
+                        lambda: {k: float(v) for k, v in losses.items()}
+                    )
                     lr = float(schedule(total_iter))
                     sps = n_samples / (time.time() - t_start + 1e-9)
                     logger.info(

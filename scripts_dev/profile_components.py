@@ -1,0 +1,117 @@
+"""Component-level timing on the real TPU: where does a SP+LG pair go?
+
+Times each stage with the chained-lax.scan methodology (bench.py): ITERS
+iterations inside one jit, each consuming a scalar from the previous output.
+Run ONLY when no other python process is using the TPU.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 4
+IMAGE_SIZE = 1024
+K = 2048
+ITERS = 20
+DTYPE = "bfloat16"
+
+
+def chain_time(fn, init_args, n=ITERS):
+    """fn(carry, *args) -> scalar carry. Returns seconds per iteration."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(args, n):
+        def body(c, _):
+            return fn(c, *args), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return c
+
+    float(run(init_args, n=2))  # compile
+    t0 = time.perf_counter()
+    float(run(init_args, n=n))
+    dt = time.perf_counter() - t0
+    return dt / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.models import get_model
+
+    rng = np.random.default_rng(0)
+    cast = (lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x) if DTYPE == "bfloat16" else (lambda x: x)
+
+    img = jnp.asarray(rng.uniform(0, 1, (2 * BATCH, IMAGE_SIZE, IMAGE_SIZE, 1)), jnp.float32)
+    size = jnp.tile(jnp.asarray([[IMAGE_SIZE, IMAGE_SIZE]], jnp.float32), (2 * BATCH, 1))
+    img = cast(img)
+
+    sp = get_model("superpoint").from_conf(
+        {"max_num_keypoints": K, "detection_threshold": 0.0,
+         "force_num_keypoints": True, "trainable": False, "dense_outputs": True}
+    )
+    spv = sp.init({"params": jax.random.key(0), "sample": jax.random.key(1)},
+                  {"image": img, "image_size": size})
+    spv = jax.tree.map(cast, spv)
+
+    timings = {}
+
+    # 1. full extraction (2B images)
+    def ex_full(c, img, size):
+        out = sp.apply(spv, {"image": img + c * 1e-12, "image_size": size},
+                       rngs={"sample": jax.random.key(2)})
+        return out["descriptors"].astype(jnp.float32).sum() * 1e-12
+
+    timings["extract_full"] = chain_time(ex_full, (img, size))
+
+    # 2. backbone+heads only (dense maps, no decode)
+    import flax.linen as nn
+
+    def ex_dense(c, img):
+        # call through apply with a method that stops before decode: emulate by
+        # running the full model but summing the dense score map only — XLA
+        # dead-code-eliminates the decode since its outputs are unused.
+        out = sp.apply(spv, {"image": img + c * 1e-12, "image_size": size},
+                       rngs={"sample": jax.random.key(2)})
+        return out["dense_score_map"].astype(jnp.float32).sum() * 1e-12
+
+    timings["extract_dense_only(DCE decode)"] = chain_time(ex_dense, (img,))
+
+    # 3. matcher only
+    lg = get_model("lightglue").from_conf({"n_layers": 9, "checkpointed": False})
+    kpts = jnp.asarray(rng.uniform(0, IMAGE_SIZE, (BATCH, K, 2)), jnp.float32)
+    desc = jnp.asarray(rng.normal(size=(BATCH, K, 256)), jnp.float32)
+    mask = jnp.ones((BATCH, K), bool)
+    mdata = {
+        "keypoints0": cast(kpts), "keypoints1": cast(kpts),
+        "descriptors0": cast(desc), "descriptors1": cast(desc),
+        "keypoint_mask0": mask, "keypoint_mask1": mask,
+        "view0": {"image_size": size[:BATCH]},
+        "view1": {"image_size": size[:BATCH]},
+    }
+    lgv = jax.tree.map(cast, lg.init({"params": jax.random.key(0)}, mdata))
+
+    def match_fn(c, d):
+        d = dict(d)
+        d["descriptors0"] = d["descriptors0"] + (c * 1e-12).astype(d["descriptors0"].dtype)
+        out = lg.apply(lgv, d)
+        return out["matching_scores0"].astype(jnp.float32).sum() * 1e-12
+
+    timings["match_full"] = chain_time(match_fn, (mdata,))
+
+    pair_cost = {k: v / BATCH for k, v in timings.items()}
+    print(json.dumps({
+        "per_iter_s": timings,
+        "per_pair_ms": {k: round(1000 * v, 2) for k, v in pair_cost.items()},
+        "extract_decode_ms": round(1000 * (timings["extract_full"] - timings["extract_dense_only(DCE decode)"]) / BATCH, 2),
+        "implied_pairs_per_s": round(BATCH / (timings["extract_full"] + timings["match_full"]), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

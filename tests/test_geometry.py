@@ -220,6 +220,67 @@ def test_gt_matches_from_homography():
     assert (np.asarray(out2["matches0"]) == -1).all()
 
 
+def test_gt_matches_mask_inertness():
+    """Masked (padding) keypoint slots — e.g. wireframe's invalid junction
+    slots, which all sit at (0,0) in both views — must never become GT
+    positives, must be labelled IGNORE (-2), and must not disturb the labels
+    of valid keypoints."""
+    rng = np.random.default_rng(8)
+    H = jnp.asarray(
+        [[[1.0, 0.02, 5.0], [0.01, 1.0, -3.0], [0.0, 0.0, 1.0]]], jnp.float32
+    )
+    kp0 = jnp.asarray(rng.uniform(50, 400, size=(1, 16, 2)), jnp.float32)
+    kp1 = warp_points(kp0, H)
+    # append 8 padding slots at (0, 0) on both sides — (0,0) maps near (0,0),
+    # so without masks these would cross-match as positives
+    pad = jnp.zeros((1, 8, 2), jnp.float32)
+    kp0p = jnp.concatenate([kp0, pad], axis=1)
+    kp1p = jnp.concatenate([kp1, pad], axis=1)
+    mask = jnp.concatenate([jnp.ones((1, 16), bool), jnp.zeros((1, 8), bool)], axis=1)
+
+    ref = gt_matches_from_homography(kp0, kp1, H)
+    out = gt_matches_from_homography(kp0p, kp1p, H, mask0=mask, mask1=mask)
+    # valid slots: identical labels to the unpadded call
+    np.testing.assert_array_equal(
+        np.asarray(out["matches0"])[0, :16], np.asarray(ref["matches0"])[0]
+    )
+    # padding slots: IGNORE, never positive
+    assert (np.asarray(out["matches0"])[0, 16:] == -2).all()
+    assert (np.asarray(out["matches1"])[0, 16:] == -2).all()
+    assert not np.asarray(out["assignment"])[0, 16:].any()
+    assert not np.asarray(out["assignment"])[0, :, 16:].any()
+
+    # without masks the (0,0) slots DO cross-match — the failure mode guarded
+    # (identity H: the padding slots coincide exactly across views)
+    H_id = jnp.eye(3, dtype=jnp.float32)[None]
+    kp1_id = jnp.concatenate([kp0, pad], axis=1)
+    bad = gt_matches_from_homography(kp0p, kp1_id, H_id)
+    assert np.asarray(bad["assignment"])[0, 16:, 16:].any()
+    good = gt_matches_from_homography(kp0p, kp1_id, H_id, mask0=mask, mask1=mask)
+    assert not np.asarray(good["assignment"])[0, 16:, 16:].any()
+
+
+def test_gt_matches_pose_depth_mask_inertness():
+    rng = np.random.default_rng(9)
+    cam, T, depth0, depth1 = make_two_view(rng)
+    kp0 = jnp.asarray(rng.uniform(10, 54, size=(1, 12, 2)), jnp.float32)
+    p3d = cam.image2cam(kp0) * 5.0
+    kp1, valid = cam.cam2image(T.transform(p3d))
+    pad = jnp.full((1, 4, 2), 32.0, jnp.float32)  # in-image padding slots
+    kp0p = jnp.concatenate([kp0, pad], axis=1)
+    kp1p = jnp.concatenate([kp1, pad], axis=1)
+    mask = jnp.concatenate([jnp.ones((1, 12), bool), jnp.zeros((1, 4), bool)], axis=1)
+    out = gt_matches_from_pose_depth(
+        kp0p, kp1p, cam, cam, T, depth0, depth1, mask0=mask, mask1=mask
+    )
+    assert (np.asarray(out["matches0"])[0, 12:] == -2).all()
+    assert not np.asarray(out["assignment"])[0, 12:].any()
+    # valid slots keep their positives
+    m0 = np.asarray(out["matches0"])[0, :12]
+    v = np.asarray(valid[0])
+    np.testing.assert_array_equal(m0[v], np.arange(12)[v])
+
+
 def test_symmetric_reprojection_error_zero():
     rng = np.random.default_rng(7)
     cam, T, depth0, depth1 = make_two_view(rng)

@@ -165,6 +165,40 @@ def test_wireframe_extractor_end_to_end():
     assert km[idx[lm].ravel()].all()
 
 
+def test_wireframe_precomputed_lines_parity():
+    """The data-pipeline precompute path (detect_lines) must produce exactly
+    the same extractor outputs as the in-model host-callback path."""
+    from gluefactory_tpu.models import get_model
+    from gluefactory_tpu.models.lines.wireframe import precompute_wireframe
+
+    img, _ = make_line_image(seed=5)
+    conf = {
+        "point_extractor": {
+            "name": "superpoint",
+            "max_num_keypoints": 64,
+            "detection_threshold": 0.0,
+        },
+        "max_num_lines": 32,
+        "min_length": 20.0,
+        "nms_radius": 3.0,
+    }
+    wf = get_model("wireframe").from_conf(conf)
+    data_cb = {"image": jnp.asarray(img[None])}
+    variables = wf.init({"params": jax.random.key(0)}, data_cb)
+    pred_cb = wf.apply(variables, data_cb)
+
+    pre = precompute_wireframe(img, 32, 20.0, 3.0)
+    data_pre = {"image": jnp.asarray(img[None])}
+    data_pre.update({k: jnp.asarray(v)[None] for k, v in pre.items()})
+    pred_pre = jax.jit(lambda v, d: wf.apply(v, d))(variables, data_pre)
+
+    for k in pred_cb:
+        np.testing.assert_allclose(
+            np.asarray(pred_cb[k]), np.asarray(pred_pre[k]), atol=1e-5,
+            err_msg=f"mismatch in {k}",
+        )
+
+
 def test_gluestick_inter_supervision():
     from gluefactory_tpu.models import get_model
 

@@ -241,6 +241,46 @@ def test_warp_perspective_matches_cv2():
     assert np.quantile(diff, 0.99) < 0.03, np.quantile(diff, 0.99)
 
 
+def test_warp_perspective_tiled_exact_parity():
+    """The MXU-matmul tiled warp must EXACTLY match the gather warp wherever
+    each tile's source footprint fits the window (here: window >= source)."""
+    from gluefactory_tpu.ops.warp import warp_perspective, warp_perspective_tiled
+
+    rng = np.random.default_rng(21)
+    img = rng.uniform(0, 1, (2, 48, 64, 3)).astype(np.float32)
+    H = np.stack(
+        [
+            np.array([[1.1, 0.08, -6.0], [-0.05, 0.95, 4.0], [2e-4, -1e-4, 1.0]]),
+            np.array([[0.8, -0.2, 10.0], [0.15, 0.9, -3.0], [-1e-4, 2e-4, 1.0]]),
+        ]
+    ).astype(np.float32)
+    ref = np.asarray(warp_perspective(jnp.asarray(img), jnp.asarray(H), (64, 48)))
+    out = np.asarray(
+        warp_perspective_tiled(
+            jnp.asarray(img), jnp.asarray(H), (64, 48),
+            tile=(16, 32), window=(64, 96),
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_warp_perspective_tiled_nondivisible_output():
+    from gluefactory_tpu.ops.warp import warp_perspective, warp_perspective_tiled
+
+    rng = np.random.default_rng(22)
+    img = rng.uniform(0, 1, (1, 40, 56, 1)).astype(np.float32)
+    H = np.eye(3, dtype=np.float32)[None] * 1.0
+    H[0, 0, 2] = 3.0  # translation
+    ref = np.asarray(warp_perspective(jnp.asarray(img), jnp.asarray(H), (50, 30)))
+    out = np.asarray(
+        warp_perspective_tiled(
+            jnp.asarray(img), jnp.asarray(H), (50, 30),
+            tile=(16, 32), window=(56, 72),
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_photometric_jitter_bounds():
     from gluefactory_tpu.ops.warp import photometric_jitter
 

@@ -54,3 +54,49 @@ def test_make_match_figures():
     figs = make_match_figures(pred, data, n_pairs=2)
     assert len(figs) == 2
     plt.close("all")
+
+
+def test_global_frame_interactivity():
+    """GlobalFrame: draw, metric cycling, diff mode, hover scaffolding."""
+    from gluefactory_tpu.visualization.global_frame import GlobalFrame
+
+    n = 10
+    rng = np.random.default_rng(0)
+    results = {
+        "expA": {
+            "names": [f"pair{i}" for i in range(n)],
+            "prec": rng.uniform(0, 1, n),
+            "num_matches": rng.integers(10, 100, n).astype(float),
+        },
+        "expB": {
+            "names": [f"pair{i}" for i in range(n)],
+            "prec": rng.uniform(0, 1, n),
+            "num_matches": rng.integers(10, 100, n).astype(float),
+        },
+    }
+    frame = GlobalFrame({}, results, loader=None, predictions={})
+    assert set(frame.metrics) == {"prec", "num_matches"}
+    # legend carries medians
+    labels = [t.get_text() for t in frame.ax.get_legend().get_texts()]
+    assert any("med" in t for t in labels)
+
+    class KeyEvent:
+        def __init__(self, key):
+            self.key = key
+
+    x0 = frame.x
+    frame.on_key(KeyEvent("x"))
+    assert frame.x != x0
+    frame.on_key(KeyEvent("X"))
+    assert frame.x == x0
+    assert not frame.diff
+    frame.on_key(KeyEvent("d"))
+    assert frame.diff
+    # diff mode: expA (the base) has y identically zero
+    xs, ys = frame._series("expA")
+    assert np.allclose(ys, 0.0)
+    xs, ys = frame._series("expB")
+    assert np.allclose(
+        ys, np.asarray(results["expB"][frame.y]) - np.asarray(results["expA"][frame.y])
+    )
+    plt.close("all")
