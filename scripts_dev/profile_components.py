@@ -31,7 +31,7 @@ def chain_time(fn, init_args, n=ITERS):
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return c
 
-    float(run(init_args, n=2))  # compile
+    float(run(init_args, n=n))  # compile (same static n as the timed call)
     t0 = time.perf_counter()
     float(run(init_args, n=n))
     dt = time.perf_counter() - t0
