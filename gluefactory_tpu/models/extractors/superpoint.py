@@ -24,8 +24,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops import pallas_conv, pallas_detect
 from ...ops.grid_sample import sample_descriptors
 from ...ops.nms import remove_borders, simple_nms, top_k_keypoints
+from ...ops.pallas_conv import fused_vgg_available, vgg_block
+from ...ops.pallas_detect import detect_keypoints, fused_detect_available
 from ..base_model import BaseModel
 
 
@@ -65,6 +68,12 @@ class SuperPoint(BaseModel):
         "dense_outputs": False,
         "channels": [64, 64, 128, 128],
         "head_channels": 256,
+        # fused Pallas NMS+decode on TPU ("auto" = when shapes allow);
+        # False forces the XLA reduce_window path (used for parity tests)
+        "fused_detect": "auto",
+        # fused Pallas conv blocks on TPU (vanilla variant only — the open
+        # variant interleaves BatchNorm between conv and relu)
+        "fused_backbone": "auto",
     }
     required_data_keys = ["image"]
 
@@ -88,11 +97,43 @@ class SuperPoint(BaseModel):
         image = rgb_to_grayscale(data["image"])
         x = image
         n_blocks = len(c.channels)
+        fused_bb = (
+            c.fused_backbone
+            and c.variant == "vanilla"
+            and (jax.default_backend() == "tpu" or pallas_conv.FORCE_INTERPRET)
+            and not self.is_initializing()
+        )
         for i in range(n_blocks):
-            x = self.backbone[2 * i](x, train=bn_train)
-            x = self.backbone[2 * i + 1](x, train=bn_train)
-            if i < n_blocks - 1:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            has_pool = i < n_blocks - 1
+            Hx, Wx = x.shape[1:3]
+            ca, cb = int(c.channels[i]), int(c.channels[i])
+            if (
+                fused_bb
+                and i > 0  # conv1a has C_in=1 (MXU-hostile in the kernel)
+                and fused_vgg_available(Hx, Wx, x.shape[-1], cb)
+            ):
+                p = self.variables["params"]
+                wa = p[f"conv{i+1}a"]["Conv_0"]["kernel"]
+                ba_ = p[f"conv{i+1}a"]["Conv_0"]["bias"]
+                wb = p[f"conv{i+1}b"]["Conv_0"]["kernel"]
+                bb_ = p[f"conv{i+1}b"]["Conv_0"]["bias"]
+                x = vgg_block(x, wa, ba_, wb, bb_, pool=has_pool)
+            elif (
+                fused_bb
+                and i == 0
+                and fused_vgg_available(Hx, Wx, ca, cb)
+            ):
+                # conv1a via XLA (flax module), conv1b + pool fused
+                x = self.backbone[0](x, train=bn_train)
+                p = self.variables["params"]
+                wb = p["conv1b"]["Conv_0"]["kernel"]
+                bb_ = p["conv1b"]["Conv_0"]["bias"]
+                x = vgg_block(x, wb, bb_, pool=has_pool)
+            else:
+                x = self.backbone[2 * i](x, train=bn_train)
+                x = self.backbone[2 * i + 1](x, train=bn_train)
+                if has_pool:
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # detector head: 65-ch softmax, drop dustbin, 8x8 pixel shuffle
         cPa = self.convPa(x, train=bn_train)
         logits = self.convPb(cPa)  # (B, Hc, Wc, 65)
@@ -109,25 +150,40 @@ class SuperPoint(BaseModel):
         )
 
         # keypoint selection: NMS -> border removal -> static top-k + mask
-        nmsed = simple_nms(scores, c.nms_radius)
-        nmsed = remove_borders(nmsed, c.remove_borders)
-        # mask detections beyond the true image area (the image buffer may be
-        # padded to a bucketed size for compile-count bounding — the true size
-        # lives in data["image_size"])
-        true_size = data.get("image_size")
-        if true_size is not None:
-            Hs, Ws = nmsed.shape[1:3]
-            xs = jnp.arange(Ws, dtype=jnp.float32)[None, None, :]
-            ys = jnp.arange(Hs, dtype=jnp.float32)[None, :, None]
-            b_ = float(c.remove_borders)
-            w_true = true_size[:, 0][:, None, None]
-            h_true = true_size[:, 1][:, None, None]
-            in_area = (xs < w_true - b_) & (ys < h_true - b_)
-            nmsed = jnp.where(in_area, nmsed, jnp.zeros_like(nmsed))
         k = int(c.max_num_keypoints)
-        kpts, kpt_scores, valid = top_k_keypoints(
-            nmsed, k, c.detection_threshold, nms_radius=c.nms_radius
+        true_size = data.get("image_size")
+        Hs, Ws = scores.shape[1:3]
+        use_fused = (
+            c.fused_detect
+            and c.nms_radius >= 3  # 4x4-tile top-k exactness needs r+1 >= 4
+            and (jax.default_backend() == "tpu"
+                 or pallas_detect.FORCE_INTERPRET)
+            and fused_detect_available(Hs, Ws)
         )
+        if use_fused:
+            # one VMEM-resident Pallas pass for NMS + border/area mask +
+            # tile reduction (ops/pallas_detect.py)
+            kpts, kpt_scores, valid = detect_keypoints(
+                scores, k, c.detection_threshold, radius=c.nms_radius,
+                border=c.remove_borders, true_size=true_size,
+            )
+        else:
+            nmsed = simple_nms(scores, c.nms_radius)
+            nmsed = remove_borders(nmsed, c.remove_borders)
+            # mask detections beyond the true image area (the image buffer
+            # may be padded to a bucketed size for compile-count bounding —
+            # the true size lives in data["image_size"])
+            if true_size is not None:
+                xs = jnp.arange(Ws, dtype=jnp.float32)[None, None, :]
+                ys = jnp.arange(Hs, dtype=jnp.float32)[None, :, None]
+                b_ = float(c.remove_borders)
+                w_true = true_size[:, 0][:, None, None]
+                h_true = true_size[:, 1][:, None, None]
+                in_area = (xs < w_true - b_) & (ys < h_true - b_)
+                nmsed = jnp.where(in_area, nmsed, jnp.zeros_like(nmsed))
+            kpts, kpt_scores, valid = top_k_keypoints(
+                nmsed, k, c.detection_threshold, nms_radius=c.nms_radius
+            )
 
         if c.force_num_keypoints:
             rng = self.make_rng("sample")

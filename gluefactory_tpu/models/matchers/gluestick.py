@@ -52,13 +52,18 @@ class EndPtEncoder(nn.Module):
 
 
 class LineLayer(nn.Module):
-    """Wireframe message passing (reference `gluestick.py:589-691`, mean mode).
+    """Wireframe message passing (reference `gluestick.py:589-691`).
 
     For each line endpoint e at node j: message = MLP([desc_j, desc_partner,
-    line_enc_e]); node update = mean of messages of all endpoints at j.
+    line_enc_e]); node update = mean of messages of all endpoints at j
+    (`attention=False`), or their sum weighted by a per-junction softmax
+    over endpoint attention scores (`attention=True`, reference
+    `get_endpoint_attention` :613-640 — query is the projected node desc,
+    key the projected [partner desc, line encoding]).
     """
 
     dim: int
+    attention: bool = False
 
     @nn.compact
     def __call__(self, x, line_enc, junc_idx, line_mask=None, train: bool = False):
@@ -75,13 +80,36 @@ class LineLayer(nn.Module):
             w = jnp.ones((B, L2), x.dtype)
         message = message * w[..., None]
 
-        def scatter(one_msg, one_idx, one_w):
-            summed = jax.ops.segment_sum(one_msg, one_idx, num_segments=N)
-            count = jax.ops.segment_sum(one_w, one_idx, num_segments=N)
-            return summed / jnp.maximum(count, 1.0)[..., None]
+        if self.attention:
+            query = nn.Dense(self.dim, name="proj_node")(x)
+            query = jnp.take_along_axis(query, junc_idx[..., None], axis=1)
+            key = nn.Dense(self.dim, name="proj_neigh")(
+                jnp.concatenate([partner, line_enc], axis=-1)
+            )
+            logit = (query * key).sum(-1).astype(jnp.float32) / self.dim**0.5
+            # global max subtraction for stability (normalization makes the
+            # shift value-irrelevant); masked endpoints contribute nothing
+            logit = jnp.where(w > 0, logit, -jnp.inf)
+            prob = jnp.exp(logit - jnp.maximum(jnp.max(logit), -1e30))
+            prob = jnp.where(w > 0, prob, 0.0)
 
-        update = jax.vmap(scatter)(message, junc_idx, w)
-        return x + update
+            def scatter_attn(one_msg, one_idx, one_p):
+                denom = jax.ops.segment_sum(one_p, one_idx, num_segments=N)
+                p = one_p / (jnp.take(denom, one_idx) + 1e-8)
+                return jax.ops.segment_sum(
+                    one_msg * p[..., None].astype(one_msg.dtype), one_idx,
+                    num_segments=N)
+
+            update = jax.vmap(scatter_attn)(message, junc_idx, prob)
+        else:
+
+            def scatter(one_msg, one_idx, one_w):
+                summed = jax.ops.segment_sum(one_msg, one_idx, num_segments=N)
+                count = jax.ops.segment_sum(one_w, one_idx, num_segments=N)
+                return summed / jnp.maximum(count, 1.0)[..., None]
+
+            update = jax.vmap(scatter)(message, junc_idx, w)
+        return x + update.astype(x.dtype)
 
 
 class GlueStick(BaseModel):
@@ -93,6 +121,7 @@ class GlueStick(BaseModel):
         "n_layers": 9,  # pairs of (self+line, cross)
         "num_heads": 4,
         "num_line_iterations": 1,
+        "line_attention": False,  # reference gluestick.py:34
         "filter_threshold": 0.2,
         "checkpointed": False,
         # layer indices (into the n_layers self/line blocks) with auxiliary
@@ -124,7 +153,8 @@ class GlueStick(BaseModel):
             layer_cls(d, c.num_heads, name=f"gnn_{i}") for i in range(2 * c.n_layers)
         ]
         self.line_layers = [
-            LineLayer(d, name=f"line_layer_{i}") for i in range(c.n_layers)
+            LineLayer(d, attention=c.line_attention, name=f"line_layer_{i}")
+            for i in range(c.n_layers)
         ]
         self.final_proj = nn.Dense(d, name="final_proj")
         self.final_line_proj = nn.Dense(d, name="final_line_proj")

@@ -104,15 +104,31 @@ class CrossBlock(nn.Module):
     def __call__(self, x0, x1, mask0=None, mask1=None):
         to_qk = nn.Dense(self.dim, name="to_qk")
         to_v = nn.Dense(self.dim, name="to_v")
-        qk0 = split_heads(to_qk(x0), self.num_heads)
-        qk1 = split_heads(to_qk(x1), self.num_heads)
-        v0 = split_heads(to_v(x0), self.num_heads)
-        v1 = split_heads(to_v(x1), self.num_heads)
+        stacked = x0.shape == x1.shape
+        if stacked:  # one shared-weight projection pass over both views
+            B = x0.shape[0]
+            x01 = jnp.concatenate([x0, x1], axis=0)
+            qk01 = to_qk(x01)
+            v01 = to_v(x01)
+            qk0 = split_heads(qk01[:B], self.num_heads)
+            qk1 = split_heads(qk01[B:], self.num_heads)
+            v0 = split_heads(v01[:B], self.num_heads)
+            v1 = split_heads(v01[B:], self.num_heads)
+        else:
+            qk0 = split_heads(to_qk(x0), self.num_heads)
+            qk1 = split_heads(to_qk(x1), self.num_heads)
+            v0 = split_heads(to_v(x0), self.num_heads)
+            v1 = split_heads(to_v(x1), self.num_heads)
         m0, m1 = bidirectional_attention(qk0, qk1, v0, v1, mask0, mask1)
         out_proj = nn.Dense(self.dim, name="out_proj")
+        ffn = FFN(self.dim, name="ffn")
+        if stacked:
+            m01 = out_proj(
+                merge_heads(jnp.concatenate([m0, m1], axis=0)))
+            y01 = ffn(jnp.concatenate([x0, x1], axis=0), m01)
+            return y01[:B], y01[B:]
         m0 = out_proj(merge_heads(m0))
         m1 = out_proj(merge_heads(m1))
-        ffn = FFN(self.dim, name="ffn")
         return ffn(x0, m0), ffn(x1, m1)
 
 
@@ -123,8 +139,27 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, desc0, desc1, enc0, enc1, mask0=None, mask1=None):
         self_attn = SelfBlock(self.dim, self.num_heads, name="self_attn")
-        desc0 = self_attn(desc0, enc0, mask0)
-        desc1 = self_attn(desc1, enc1, mask1)
+        if desc0.shape == desc1.shape:
+            # both views through ONE batched self-attention pass (weights are
+            # shared; the stack halves dispatches and doubles kernel batch)
+            B = desc0.shape[0]
+            x = jnp.concatenate([desc0, desc1], axis=0)
+            enc = tuple(
+                jnp.concatenate([e0, e1], axis=0)
+                for e0, e1 in zip(enc0, enc1)
+            )
+            if mask0 is None and mask1 is None:
+                mask = None
+            else:
+                ones = jnp.ones(desc0.shape[:2], bool)
+                mask = jnp.concatenate(
+                    [ones if mask0 is None else mask0,
+                     ones if mask1 is None else mask1], axis=0)
+            x = self_attn(x, enc, mask)
+            desc0, desc1 = x[:B], x[B:]
+        else:
+            desc0 = self_attn(desc0, enc0, mask0)
+            desc1 = self_attn(desc1, enc1, mask1)
         desc0, desc1 = CrossBlock(self.dim, self.num_heads, name="cross_attn")(
             desc0, desc1, mask0, mask1
         )

@@ -40,16 +40,18 @@ def main():
         {"max_num_keypoints": 512, "detection_threshold": 0.0,
          "force_num_keypoints": True, "trainable": False, "dense_outputs": True}
     )
-    for nb in (8, 16, 32):
+    # init once at tiny res (conv params are resolution-independent)
+    tiny = {"image": jnp.zeros((1, 256, 256, 1), jnp.bfloat16),
+            "image_size": jnp.asarray([[256, 256]], jnp.float32)}
+    spv = sp.init({"params": jax.random.key(0), "sample": jax.random.key(1)}, tiny)
+    spv = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, spv
+    )
+    for nb in (8, 16):  # 32 OOMs at 1024^2 (conv1 activations)
         img = jnp.asarray(
             rng.uniform(0, 1, (nb, 1024, 1024, 1)), jnp.float32
         ).astype(jnp.bfloat16)
         size = jnp.tile(jnp.asarray([[1024, 1024]], jnp.float32), (nb, 1))
-        spv = sp.init({"params": jax.random.key(0), "sample": jax.random.key(1)},
-                      {"image": img, "image_size": size})
-        spv = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, spv
-        )
 
         def dense_fn(c, im):
             o = sp.apply(spv, {"image": im + (c * 1e-12).astype(im.dtype),
@@ -59,6 +61,7 @@ def main():
 
         t = chain_time(dense_fn, (img,), n=10)
         out[f"dense_b{nb}_ms_per_image"] = round(1000 * t / nb, 3)
+        print(json.dumps(out), flush=True)
 
     # attention block_q sweep at matcher shapes (B=4 pairs, H=4, N=M=2048, D=64)
     B, H, N, D = 4, 4, 2048, 64
@@ -74,8 +77,7 @@ def main():
 
         t = chain_time(att_fn, (q, k, v), n=50)
         out[f"attn_blk{blk}_us"] = round(1e6 * t, 1)
-
-    print(json.dumps(out))
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -267,3 +267,43 @@ def test_gt_line_matches_from_pose_depth():
         lines0, lines1, mask, mask, cam, cam, T, depth, depth
     )
     np.testing.assert_array_equal(np.asarray(out["matches0"])[0], np.arange(L))
+
+
+def test_gluestick_line_attention_variant():
+    """`line_attention: True` (reference gluestick.py:613-691): forward runs,
+    shapes match, and masked line slots stay inert."""
+    from gluefactory_tpu.models import get_model
+
+    B, N, L, D = 1, 24, 6, 32
+    rng = np.random.default_rng(7)
+    gs = get_model("gluestick").from_conf(
+        {"n_layers": 2, "descriptor_dim": D, "input_dim": D, "num_heads": 2,
+         "line_attention": True}
+    )
+    junc_idx = rng.integers(0, 12, (B, L, 2))
+    data = {
+        "keypoints0": jnp.asarray(rng.uniform(0, 256, (B, N, 2)), jnp.float32),
+        "keypoints1": jnp.asarray(rng.uniform(0, 256, (B, N, 2)), jnp.float32),
+        "descriptors0": jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32),
+        "descriptors1": jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32),
+        "keypoint_scores0": jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32),
+        "keypoint_scores1": jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32),
+        "lines0": jnp.asarray(rng.uniform(0, 256, (B, L, 2, 2)), jnp.float32),
+        "lines1": jnp.asarray(rng.uniform(0, 256, (B, L, 2, 2)), jnp.float32),
+        "lines_junc_idx0": jnp.asarray(junc_idx, jnp.int32),
+        "lines_junc_idx1": jnp.asarray(junc_idx, jnp.int32),
+        "line_scores0": jnp.asarray(rng.uniform(0, 1, (B, L)), jnp.float32),
+        "line_scores1": jnp.asarray(rng.uniform(0, 1, (B, L)), jnp.float32),
+        "keypoint_mask0": jnp.ones((B, N), bool),
+        "keypoint_mask1": jnp.ones((B, N), bool),
+        "line_mask0": jnp.ones((B, L), bool).at[:, L - 2 :].set(False),
+        "line_mask1": jnp.ones((B, L), bool).at[:, L - 2 :].set(False),
+        "view0": {"image_size": jnp.asarray([[256.0, 256.0]])},
+        "view1": {"image_size": jnp.asarray([[256.0, 256.0]])},
+    }
+    variables = gs.init({"params": jax.random.key(0)}, data, method="initialize")
+    pred = gs.apply(variables, data)
+    assert pred["log_assignment"].shape == (B, N + 1, N + 1)
+    assert pred["line_log_assignment"].shape == (B, L + 1, L + 1)
+    assert np.isfinite(np.asarray(pred["log_assignment"])).any()
+    assert (np.asarray(pred["line_matches0"])[:, L - 2 :] == -1).all()
