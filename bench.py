@@ -27,8 +27,10 @@ import numpy as np
 
 A100_BASELINE_PAIRS_PER_SEC = 36.0
 
-BATCH = 4  # stacked two-view extraction doubles the conv batch to 8 —
-# the measured per-image sweet spot on v5e (B=16 convs regress + OOM)
+import os
+
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+# stacked two-view extraction doubles the conv batch to 2*BATCH images
 IMAGE_SIZE = 1024
 NUM_KEYPOINTS = 2048
 ITERS = 20

@@ -107,7 +107,10 @@ def extract_sift_host(
 
 class SIFT(BaseModel):
     default_conf = {
-        "backend": "opencv",  # reference also has pycolmap/CUDA; single host backend here
+        # "opencv": host cv2 via pure_callback (reference behavior);
+        # "jax": TPU-native DoG pipeline fully inside jit (ops/sift_jax.py)
+        # — the reference's pycolmap/CUDA backends map onto these two.
+        "backend": "opencv",
         "max_num_keypoints": 4096,
         "detection_threshold": 0.0066,
         "nms_radius": 0,
@@ -120,6 +123,8 @@ class SIFT(BaseModel):
         image = data["image"]
         B = image.shape[0]
         K = int(self.conf.max_num_keypoints)
+        if self.conf.backend == "jax":
+            return self._forward_jax(data, image, B, K)
         shapes = (
             jax.ShapeDtypeStruct((B, K, 2), jnp.float32),
             jax.ShapeDtypeStruct((B, K), jnp.float32),
@@ -153,6 +158,44 @@ class SIFT(BaseModel):
             "keypoint_scores": scores,
             "scales": scales,
             "oris": oris,
+            "descriptors": desc,
+            "keypoint_mask": valid,
+        }
+
+    def _forward_jax(self, data, image, B, K):
+        """Device-side DoG SIFT (ops/sift_jax.py) — no host callback."""
+        from ...ops.sift_jax import sift_detect
+
+        gray = image
+        if gray.shape[-1] == 3:
+            w = jnp.asarray([0.299, 0.587, 0.114], gray.dtype)
+            gray = (gray * w).sum(-1, keepdims=True)
+        # same convention as cv2.SIFT_create(contrastThreshold=...): the
+        # pipeline applies th/n_scales after interpolation, 0.5*th/n before
+        out = sift_detect(
+            gray[..., 0].astype(jnp.float32), K,
+            contrast_thresh=max(float(self.conf.detection_threshold), 1e-4),
+        )
+        desc = out["descriptors"]
+        if self.conf.rootsift:
+            l1 = jnp.maximum(jnp.abs(desc).sum(-1, keepdims=True), 1e-8)
+            desc = jnp.sqrt(jnp.abs(desc) / l1) * jnp.sign(desc)
+        kpts, valid = out["keypoints"], out["keypoint_mask"]
+        scores = jnp.where(valid, out["keypoint_scores"], 0.0)
+        if self.conf.force_num_keypoints:
+            rng = self.make_rng("sample")
+            size = data.get("image_size")
+            if size is None:
+                h, w_ = image.shape[1:3]
+                size = jnp.tile(jnp.asarray([[w_, h]], jnp.float32), (B, 1))
+            u = jax.random.uniform(rng, (B, K, 2), dtype=kpts.dtype)
+            kpts = jnp.where(valid[..., None], kpts, u * size[:, None, :])
+            valid = jnp.ones_like(valid)
+        return {
+            "keypoints": kpts,
+            "keypoint_scores": scores,
+            "scales": out["scales"],
+            "oris": out["oris"],
             "descriptors": desc,
             "keypoint_mask": valid,
         }

@@ -1,27 +1,19 @@
-"""kornia SIFTFeature wrapper (role of reference
-`models/extractors/sift_kornia.py:7-46`). The native host SIFT in `sift.py`
-covers the same capability; this wrapper activates when kornia is present."""
+"""On-device SIFT (role of reference `models/extractors/sift_kornia.py:7-46`,
+the kornia SIFTFeature wrapper — kornia's value there was GPU-resident SIFT;
+the TPU-era equivalent is the fully jit-compiled DoG pipeline in
+`ops/sift_jax.py`). This model is `sift` with `backend: "jax"` pinned, so
+recipes written against the reference's `sift_kornia` name run unchanged
+and stay on-device end-to-end."""
 
 from __future__ import annotations
 
-from ..base_model import BaseModel
+from .sift import SIFT
 
 
-class SIFTKornia(BaseModel):
-    default_conf = {"max_num_keypoints": 4096, "rootsift": True, "trainable": False}
-    required_data_keys = ["image"]
-
-    def setup(self):
-        try:
-            import kornia  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "sift_kornia requires the `kornia` package; use the native "
-                "`sift` extractor instead."
-            ) from e
-
-    def _forward(self, data, train: bool = False):
-        raise NotImplementedError("host inference hook — requires kornia")
-
-    def loss(self, pred, data):
-        raise NotImplementedError
+class SIFTKornia(SIFT):
+    default_conf = {
+        **SIFT.default_conf,
+        "backend": "jax",
+        "max_num_keypoints": 4096,
+        "rootsift": True,
+    }

@@ -68,12 +68,12 @@ class SuperPoint(BaseModel):
         "dense_outputs": False,
         "channels": [64, 64, 128, 128],
         "head_channels": 256,
-        # fused Pallas NMS+decode on TPU ("auto" = when shapes allow);
-        # False forces the XLA reduce_window path (used for parity tests)
-        "fused_detect": "auto",
-        # fused Pallas conv blocks on TPU (vanilla variant only — the open
-        # variant interleaves BatchNorm between conv and relu)
-        "fused_backbone": "auto",
+        # Opt-in Pallas kernels (measured SLOWER than the XLA paths on v5e
+        # at bench shapes — see ROADMAP "negative results"; kept as tested
+        # infrastructure for future tuning): fused NMS+decode and fused
+        # conv blocks (vanilla variant only — "open" interleaves BN).
+        "fused_detect": False,
+        "fused_backbone": False,
     }
     required_data_keys = ["image"]
 

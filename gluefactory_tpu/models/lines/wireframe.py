@@ -5,8 +5,8 @@ Steps:
   1. run the point extractor with dense descriptor outputs (device);
   2. detect line segments (host callback, see `lsd.py`);
   3. cluster line endpoints into junctions within `nms_radius` (host callback
-     — greedy single-linkage, replacing sklearn DBSCAN) and build
-     `lines_junc_idx`;
+     — union-find connected components, exactly DBSCAN(eps, min_samples=1))
+     and build `lines_junc_idx`;
   4. mask out keypoints that fall near junctions (device);
   5. node list = [junction slots][keypoint slots] (GlueStick's convention:
      junction nodes FIRST), junction descriptors sampled from the dense map.
@@ -27,8 +27,13 @@ from ..base_model import BaseModel
 from .lsd import detect_lsd_host
 
 
-def cluster_endpoints_host(lines: np.ndarray, valid: np.ndarray, radius: float):
-    """Greedy single-linkage clustering of line endpoints.
+def cluster_endpoints_host(lines: np.ndarray, valid: np.ndarray, radius: float,
+                           line_scores: np.ndarray | None = None):
+    """DBSCAN(eps=radius, min_samples=1)-exact clustering of line endpoints:
+    connected components of the eps-neighborhood graph (union-find), labels
+    in first-occurrence order, junction = mean of member endpoints, junction
+    score = mean of members' LINE scores (reference
+    `models/lines/wireframe.py:55-79`).
 
     lines (L, 2, 2), valid (L,). Returns (junctions (J_max, 2),
     junc_scores (J_max,), junc_valid (J_max,), lines_junc_idx (L, 2)).
@@ -38,32 +43,49 @@ def cluster_endpoints_host(lines: np.ndarray, valid: np.ndarray, radius: float):
     J_max = 2 * L
     endpoints = lines.reshape(-1, 2)  # (2L, 2)
     ep_valid = np.repeat(valid, 2)
+    if line_scores is None:
+        line_scores = np.ones(L, np.float32)
+    ep_scores = np.repeat(line_scores.astype(np.float32), 2)
+
     junctions = np.zeros((J_max, 2), np.float32)
-    counts = np.zeros(J_max, np.int64)
+    junc_scores = np.zeros(J_max, np.float32)
     junc_valid = np.zeros(J_max, bool)
     assign = np.zeros(2 * L, np.int64)
-    n_j = 0
-    r2 = radius * radius
-    for e in range(2 * L):
-        if not ep_valid[e]:
-            assign[e] = 0
-            continue
-        p = endpoints[e]
-        if n_j > 0:
-            d2 = ((junctions[:n_j] - p) ** 2).sum(-1)
-            j = int(np.argmin(d2))
-            if d2[j] <= r2:
-                # merge: running mean
-                junctions[j] = (junctions[j] * counts[j] + p) / (counts[j] + 1)
-                counts[j] += 1
-                assign[e] = j
-                continue
-        junctions[n_j] = p
-        counts[n_j] = 1
-        junc_valid[n_j] = True
-        assign[e] = n_j
-        n_j += 1
-    return junctions, counts.astype(np.float32), junc_valid, assign.reshape(L, 2)
+
+    idx = np.flatnonzero(ep_valid)
+    if idx.size:
+        pts = endpoints[idx]
+        # union-find over pairs within eps (<=, matching sklearn radius)
+        parent = np.arange(idx.size)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        r2 = radius * radius
+        ii, jj = np.nonzero(np.triu(d2 <= r2, k=1))
+        for a, b in zip(ii, jj):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(a) for a in range(idx.size)])
+        # labels in first-occurrence order (sklearn convention)
+        uniq_roots, first = np.unique(roots, return_index=True)
+        label_of_root = {
+            int(uniq_roots[o]): lbl for lbl, o in enumerate(np.argsort(first))
+        }
+        labels = np.array([label_of_root[int(r)] for r in roots])
+        n_j = int(labels.max()) + 1
+        for j in range(n_j):
+            m = labels == j
+            junctions[j] = pts[m].mean(axis=0)
+            junc_scores[j] = ep_scores[idx[m]].mean()
+            junc_valid[j] = True
+        assign[idx] = labels
+    return junctions, junc_scores, junc_valid, assign.reshape(L, 2)
 
 
 def wireframe_host(images: np.ndarray, max_lines: int, min_length: float, radius: float):
@@ -78,20 +100,20 @@ def wireframe_host(images: np.ndarray, max_lines: int, min_length: float, radius
     scores = np.zeros((B, L), np.float32)
     valid = np.zeros((B, L), bool)
     junctions = np.zeros((B, J, 2), np.float32)
-    junc_counts = np.zeros((B, J), np.float32)
+    junc_scores = np.zeros((B, J), np.float32)
     junc_valid = np.zeros((B, J), bool)
     junc_idx = np.zeros((B, L, 2), np.int32)
     try:
         lines, scores, valid = detect_lsd_host(images, max_lines, min_length)
         for b in range(B):
-            junctions[b], junc_counts[b], junc_valid[b], junc_idx[b] = (
-                cluster_endpoints_host(lines[b], valid[b], radius)
+            junctions[b], junc_scores[b], junc_valid[b], junc_idx[b] = (
+                cluster_endpoints_host(lines[b], valid[b], radius, scores[b])
             )
     except Exception as e:  # pragma: no cover - defensive
         import sys
 
         print(f"[wireframe] host step failed, returning empty: {e}", file=sys.stderr)
-    return lines, scores, valid, junctions, junc_counts, junc_valid, junc_idx
+    return lines, scores, valid, junctions, junc_scores, junc_valid, junc_idx
 
 
 def precompute_wireframe(
@@ -112,7 +134,7 @@ def precompute_wireframe(
         "line_scores": scores[0],
         "line_mask": valid[0],
         "junctions": junctions[0],
-        "junc_counts": jc[0],
+        "junc_scores": jc[0],
         "junc_mask": jv[0],
         "lines_junc_idx": jidx[0],
     }
@@ -160,13 +182,13 @@ class WireframeExtractor(BaseModel):
             line_scores = data["line_scores"].astype(jnp.float32)
             line_mask = data["line_mask"].astype(jnp.bool_)
             junctions = data["junctions"].astype(jnp.float32)
-            junc_counts = data["junc_counts"].astype(jnp.float32)
+            junc_scores = data["junc_scores"].astype(jnp.float32)
             junc_mask = data["junc_mask"].astype(jnp.bool_)
             junc_idx = data["lines_junc_idx"].astype(jnp.int32)
             return self._assemble(
                 data, ppred, kpts,
                 lines, line_scores, line_mask,
-                junctions, junc_counts, junc_mask, junc_idx,
+                junctions, junc_scores, junc_mask, junc_idx,
             )
 
         shapes = (
@@ -174,7 +196,7 @@ class WireframeExtractor(BaseModel):
             jax.ShapeDtypeStruct((B, L), jnp.float32),  # line scores
             jax.ShapeDtypeStruct((B, L), jnp.bool_),  # line mask
             jax.ShapeDtypeStruct((B, J, 2), jnp.float32),  # junctions
-            jax.ShapeDtypeStruct((B, J), jnp.float32),  # junction counts
+            jax.ShapeDtypeStruct((B, J), jnp.float32),  # junction scores
             jax.ShapeDtypeStruct((B, J), jnp.bool_),  # junction mask
             jax.ShapeDtypeStruct((B, L, 2), jnp.int32),  # lines_junc_idx
         )
@@ -204,19 +226,19 @@ class WireframeExtractor(BaseModel):
                     np.zeros((B_, L, 2), np.int32),
                 )
 
-        (lines, line_scores, line_mask, junctions, junc_counts, junc_mask, junc_idx) = (
+        (lines, line_scores, line_mask, junctions, junc_scores, junc_mask, junc_idx) = (
             jax.pure_callback(_host, shapes, image)
         )
         return self._assemble(
             data, ppred, kpts,
             lines, line_scores, line_mask,
-            junctions, junc_counts, junc_mask, junc_idx,
+            junctions, junc_scores, junc_mask, junc_idx,
         )
 
     def _assemble(
         self, data, ppred, kpts,
         lines, line_scores, line_mask,
-        junctions, junc_counts, junc_mask, junc_idx,
+        junctions, junc_scores, junc_mask, junc_idx,
     ) -> dict:
         c = self.conf
         # mask keypoints that fall near a junction (reference wireframe.py:186-216)
@@ -227,11 +249,20 @@ class WireframeExtractor(BaseModel):
         near = d2.min(-1) < c.nms_radius**2
         kpt_mask = ppred["keypoint_mask"] & ~near
 
-        # junction descriptors from the dense map; junction score from counts
+        # junction descriptors from the dense map; junction scores are the
+        # cluster means of member line scores (reference wireframe.py:70-79)
         dense = ppred["dense_descriptors"]  # (B, Hc, Wc, D)
         junc_desc = sample_descriptors(junctions, dense, stride=8)
-        junc_scores = junc_counts / jnp.maximum(junc_counts.max(axis=-1, keepdims=True), 1.0)
         junc_scores = junc_scores * junc_mask
+
+        # snap line endpoints to their cluster-mean junctions (reference
+        # wireframe.py:81-82 `new_lines = junctions[clusters]`)
+        B_, L_ = junc_idx.shape[:2]
+        snapped = jnp.take_along_axis(
+            junctions, junc_idx.reshape(B_, 2 * L_, 1), axis=1
+        ).reshape(B_, L_, 2, 2)
+        orig_lines = lines
+        lines = jnp.where(line_mask[..., None, None], snapped, lines)
 
         # node list: junctions first (GlueStick convention), then keypoints
         all_kpts = jnp.concatenate([junctions, kpts], axis=1)
@@ -248,7 +279,7 @@ class WireframeExtractor(BaseModel):
             "line_scores": line_scores,
             "line_mask": line_mask,
             "lines_junc_idx": junc_idx.astype(jnp.int32),
-            "orig_lines": lines,
+            "orig_lines": orig_lines,
         }
 
     def loss(self, pred, data):

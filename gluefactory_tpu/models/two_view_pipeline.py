@@ -96,7 +96,7 @@ class TwoViewPipeline(BaseModel):
         # (image_size; precomputed wireframe keys from data detect_lines)
         for k in (
             "image_size", "lines", "line_scores", "line_mask",
-            "junctions", "junc_counts", "junc_mask", "lines_junc_idx",
+            "junctions", "junc_scores", "junc_mask", "lines_junc_idx",
         ):
             if k in v0 and k in v1:
                 stacked[k] = jnp.concatenate([v0[k], v1[k]], axis=0)

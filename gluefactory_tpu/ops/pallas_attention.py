@@ -47,7 +47,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def fused_attention(q, k, v, mask_k=None, block_q: int = 256, interpret: bool = False):
+def fused_attention(q, k, v, mask_k=None, block_q: int = 512, interpret: bool = False):
     """q (B, H, M, D), k/v (B, H, N, D), mask_k (B, N) bool -> (B, H, M, D).
 
     Single-pass fused attention; requires N*D*(2 arrays) + BLK_Q*N logits to

@@ -41,12 +41,12 @@ def _conv3x3_ref(load, R, Wp, C, cat_ref, wcat, bias):
     """
     Ro, Wo = R - 2, Wp - 2
     for dx in range(3):
-        cat_ref[:, :, dx * C : (dx + 1) * C] = load(
+        cat_ref[:R, :Wo, dx * C : (dx + 1) * C] = load(
             slice(None), slice(dx, dx + Wo))
     acc = None
     for dy in range(3):
         part = jax.lax.dot_general(
-            cat_ref[dy : dy + Ro],
+            cat_ref[dy : dy + Ro, :Wo, : 3 * C],
             wcat[dy],
             (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -71,15 +71,15 @@ def _pool2x2(y, scratch_ref):
     return out
 
 
-def _vgg_kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, o_ref, cata_ref,
-                ybuf_ref, catb_ref, pool_ref, *, two_convs, pool, out_dtype,
+def _vgg_kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, o_ref, cat_ref,
+                ybuf_ref, pool_ref, *, two_convs, pool, out_dtype,
                 nck):
     _, R, Wp, Ci = x_ref.shape  # (1, rows + 2*halo, W + 2*halo, C_in)
 
     def load_x(rows, cols):
         return x_ref[0, rows, cols, :]
 
-    y = _conv3x3_ref(load_x, R, Wp, Ci, cata_ref, wa_ref[:], ba_ref[:])
+    y = _conv3x3_ref(load_x, R, Wp, Ci, cat_ref, wa_ref[:], ba_ref[:])
     if two_convs:
         # conv_b's SAME padding reads ZEROS beyond the image: zero conv_a's
         # ring wherever it lies outside the true image (always the left /
@@ -100,7 +100,8 @@ def _vgg_kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, o_ref, cata_ref,
         def load_y(rows, cols):
             return ybuf_ref[rows, cols, :]
 
-        y = _conv3x3_ref(load_y, Ry, Wy, Cy, catb_ref, wb_ref[:], bb_ref[:])
+        # cat_ref is REUSED for conv_b (conv_a's reads are complete)
+        y = _conv3x3_ref(load_y, Ry, Wy, Cy, cat_ref, wb_ref[:], bb_ref[:])
     if pool:
         y = _pool2x2(y, pool_ref)
     o_ref[0] = y.astype(out_dtype)
@@ -156,14 +157,17 @@ def _row_limit(W: int, Ci: int, Cm: int, Co: int, two: bool,
     limit on v5e). Accounts for 128-lane padding of every buffer: input
     block + cat_a (+ ybuf + cat_b) + pool scratch + two f32 matmul
     accumulators."""
-    per_row = 2 * W * _lanes(3 * Ci)  # cat_a (bf16-sized; f32 x is rarer)
-    per_row += 2 * W * _lanes(Ci)  # input block
+    cat_c = max(3 * Ci, 3 * Cm if two else 0)
+    per_row = 2 * W * _lanes(cat_c)  # shared cat scratch (bf16-sized)
+    per_row += 2 * W * _lanes(Ci)  # input block (x2 double-buffered)
+    per_row += 2 * W * _lanes(Ci)
     if two:
-        per_row += 2 * W * (_lanes(Cm) + _lanes(3 * Cm))  # ybuf + cat_b
+        per_row += 2 * W * _lanes(Cm)  # ybuf
+        per_row += 8 * W * _lanes(Cm)  # conv_a acc + partial (f32)
     if pool:
         per_row += 4 * W * _lanes(Co)  # pool scratch (f32)
     per_row += 8 * W * _lanes(Co)  # dot acc + partial (f32)
-    budget = 10 * 1024 * 1024
+    budget = 8 * 1024 * 1024
     r = max(2, budget // max(per_row, 1))
     return min(256, r - r % 2)
 
@@ -209,10 +213,12 @@ def fused_vgg_block(x, wa, ba, wb=None, bb=None, *, two_convs=True,
     Cm = wa.shape[-1]
     Rh = rows + 2 * halo
     dummy = (8, 128, 8)
+    # ONE cat scratch shared by both convs (used strictly sequentially) —
+    # sized for the larger of the two K-folds
+    cat_c = max(3 * Ci, 3 * Cm if two_convs else 0)
     scratches = [
-        pltpu.VMEM((Rh, W + 2 * halo - 2, 3 * Ci), x.dtype),  # cat_a
+        pltpu.VMEM((Rh, W + 2 * halo - 2, cat_c), x.dtype),  # cat (shared)
         pltpu.VMEM((Rh - 2, W + 2, Cm) if two_convs else dummy, x.dtype),
-        pltpu.VMEM((Rh - 2, W, 3 * Cm) if two_convs else dummy, x.dtype),
         pltpu.VMEM((rows, W, Co) if pool else dummy, jnp.float32),  # pool
     ]
     out = pl.pallas_call(

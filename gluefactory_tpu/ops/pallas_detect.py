@@ -21,10 +21,12 @@ Design (v5e):
 
 Tie rule: within a tile, the reported argmax is the smallest dx among
 maximal columns, then the smallest dy in that column (the pure-XLA path
-uses row-major first-max). The two differ only when a tile holds two equal
-maxima, which iterated NMS precludes for positive survivors (> radius
-apart => one positive per 4x4 tile); all-suppressed tiles give (0, 0)
-under both rules.
+uses row-major first-max). The two differ only when a tile holds two
+EQUAL maxima: all-suppressed tiles give (0, 0) under both rules, and the
+first-round NMS spacing guarantee (> radius apart) leaves only the case
+of equal-valued *revived* survivors (iteration-2 re-additions of
+bf16-quantized equal neighbors) — same score either way, so downstream
+selection is equivalent (the reference breaks such ties by memory order).
 
 Parity contract: `ops.nms` composition is the spec; tests compare the
 kernel in interpret mode and on-device against it on strictly-positive
@@ -45,17 +47,19 @@ FORCE_INTERPRET = False
 
 
 def _shift(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
-    """result[i] = x[i+s] along `axis`; -inf fill. Static s != 0.
+    """result[i] = x[i+s] along `axis`, CYCLIC (pure `pltpu.roll`, no edge
+    fill). Static s != 0.
 
-    Implemented as a cyclic `pltpu.roll` + iota mask of the wrapped region
-    (offset slices + concat are unimplemented on real Mosaic)."""
+    Mask-free on purpose: masking each shift (iota + where) tripled the VPU
+    work and made the kernel slower than the XLA path it replaces. Safety
+    argument: the caller pre-pads BOTH axes with a -inf halo at least as
+    wide as the total shift distance of the whole NMS chain (5*radius), so
+    wrap-around garbage only ever lands inside the halo and never reaches
+    the central crop that is written out."""
     from jax.experimental.pallas import tpu as pltpu
 
     n = x.shape[axis]
-    rolled = pltpu.roll(x, (-s) % n, axis)  # roll shift must be >= 0
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    dead = idx >= n - s if s > 0 else idx < -s
-    return jnp.where(dead, jnp.full_like(x, -jnp.inf), rolled)
+    return pltpu.roll(x, (-s) % n, axis)  # roll shift must be >= 0
 
 
 def _shift_rows(x: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -108,41 +112,52 @@ def _nms_block(s: jnp.ndarray, radius: int, iters: int) -> jnp.ndarray:
     return jnp.where(max_mask & ~neg, s, zeros)
 
 
-def _detect_kernel(chunk_ref, meta_ref, rmax_ref, rarg_ref, scratch_ref, *,
-                   radius, iters, halo, border, tile):
-    """chunk_ref (1, CHUNK+2*halo, W); meta_ref (1, 128) f32 rows
-    [w_true, h_true, global_row_offset, ...pad]; outputs (1, CHUNK/tile, W):
-    per (row-group, column) the max over the tile rows + its dy."""
+def _detect_kernel(chunk_ref, meta_ref, rmax_ref, rarg_ref, *,
+                   radius, iters, halo, border, tile, hc):
+    """chunk_ref (1, CHUNK+2*halo, Wp) with -inf halo rows AND columns
+    (image column j lives at lane j + hc); meta_ref (1, 1, 128) f32
+    [w_true, h_true, global_row_offset, ...pad]; outputs
+    (1, CHUNK/tile, Wp): per (row-group, lane) the max over the tile rows
+    + its dy."""
     x = chunk_ref[0].astype(jnp.float32)
-    Hh, W = x.shape
+    Hh, Wp = x.shape
     chunk = Hh - 2 * halo
 
-    nms = _nms_block(x, radius, iters)[halo : halo + chunk]  # (CHUNK, W)
+    nms = _nms_block(x, radius, iters)[halo : halo + chunk]  # (CHUNK, Wp)
 
     w_true = meta_ref[0, 0, 0]
     h_true = meta_ref[0, 0, 1]
     row_off = meta_ref[0, 0, 2]
     b = jnp.float32(border)
     # Mosaic iota must be integer-typed; cast to f32 for the comparisons
-    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, W), 0).astype(
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, Wp), 0).astype(
         jnp.float32) + row_off
-    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, W), 1).astype(
-        jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, Wp), 1).astype(
+        jnp.float32) - jnp.float32(hc)
     keep = (rows >= b) & (cols >= b) & (rows < h_true - b) & (cols < w_true - b)
     nms = jnp.where(keep, nms, jnp.zeros_like(nms))
 
-    # rows -> row-tiles via scratch + strided loads (a sublane-splitting
-    # reshape is an unsupported shape cast on real Mosaic)
-    scratch_ref[:] = nms
-    best = scratch_ref[pl.Slice(0, chunk // tile, tile), :]
-    barg = jnp.zeros_like(best, dtype=jnp.int32)
+    # rows -> row-tiles: per-row "value of group row r+dy" via cyclic rolls
+    # (first-max scan over dy), then every tile-th row extracted with a
+    # 0/1 selection-matrix matmul — sublane-strided loads require a
+    # 128-lane memref and sublane-splitting reshapes are unsupported casts
+    best = nms
+    barg = jnp.zeros_like(nms)
     for dy in range(1, tile):
-        cand = scratch_ref[pl.Slice(dy, chunk // tile, tile), :]
+        cand = _shift(nms, dy, 0)  # row r sees nms[r+dy]
         upd = cand > best
         best = jnp.where(upd, cand, best)
-        barg = jnp.where(upd, jnp.int32(dy), barg)
-    rmax_ref[0] = best
-    rarg_ref[0] = barg
+        barg = jnp.where(upd, jnp.float32(dy), barg)
+    Ht = chunk // tile
+    si = jax.lax.broadcasted_iota(jnp.int32, (Ht, chunk), 0)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (Ht, chunk), 1)
+    sel = (sj == si * tile).astype(jnp.float32)  # (Ht, chunk)
+    dots = (((1,), (0,)), ((), ()))
+    rmax_ref[0] = jax.lax.dot_general(
+        sel, best, dots, preferred_element_type=jnp.float32)
+    rarg_ref[0] = jax.lax.dot_general(
+        sel, barg, dots, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
 
 
 def nms_tile_reduce_xla(scores, radius, iters, border, tile, true_size=None):
@@ -176,9 +191,8 @@ def _pick_chunk(H: int, tile: int, target: int = 256) -> int:
 
 
 def fused_detect_available(H: int, W: int, tile: int = 4) -> bool:
-    return (
-        W % 128 == 0 and W % tile == 0 and _pick_chunk(H, tile) >= 8 * tile
-    )
+    # any W works (columns are -inf halo-padded to a 128-multiple inside)
+    return W % tile == 0 and _pick_chunk(H, tile) >= 8 * tile
 
 
 @functools.partial(
@@ -201,11 +215,18 @@ def fused_nms_tile_reduce(scores, true_size=None, *, radius: int = 4,
         true_size = jnp.tile(jnp.asarray([[W, H]], jnp.float32), (B, 1))
 
     s = scores.astype(jnp.float32)
-    padded = jnp.pad(s, ((0, 0), (halo, halo), (0, 0)),
-                     constant_values=-jnp.inf)
+    # -inf halo on BOTH axes: rows = chunk overlap + top/bottom edge
+    # semantics; columns = edge semantics + wrap-around absorption for the
+    # kernel's mask-free cyclic shifts (see _shift). Left pad 64 >= 5r;
+    # right pad rounds the padded width up to a 128-lane multiple.
+    hc = 64
+    Wp = W + hc + 64 + ((-(W + hc + 64)) % 128)
+    padded = jnp.pad(
+        s, ((0, 0), (halo, halo), (hc, Wp - W - hc)),
+        constant_values=-jnp.inf)
     starts = jnp.arange(nck) * chunk
     idx = starts[:, None] + jnp.arange(chunk + 2 * halo)[None, :]
-    chunks = padded[:, idx].reshape(B * nck, chunk + 2 * halo, W)
+    chunks = padded[:, idx].reshape(B * nck, chunk + 2 * halo, Wp)
 
     meta = jnp.concatenate(
         [
@@ -218,32 +239,29 @@ def fused_nms_tile_reduce(scores, true_size=None, *, radius: int = 4,
     meta = jnp.pad(meta, ((0, 0), (0, 125)))[:, None, :]
 
     kern = functools.partial(_detect_kernel, radius=radius, iters=iters,
-                             halo=halo, border=border, tile=tile)
-    from jax.experimental.pallas import tpu as pltpu
-
+                             halo=halo, border=border, tile=tile, hc=hc)
     rmax, rarg = pl.pallas_call(
         kern,
         grid=(B * nck,),
-        scratch_shapes=[pltpu.VMEM((chunk, W), jnp.float32)],
         in_specs=[
-            pl.BlockSpec((1, chunk + 2 * halo, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, chunk + 2 * halo, Wp), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, chunk // tile, W), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, chunk // tile, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, chunk // tile, Wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, chunk // tile, Wp), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B * nck, chunk // tile, W), jnp.float32),
-            jax.ShapeDtypeStruct((B * nck, chunk // tile, W), jnp.int32),
+            jax.ShapeDtypeStruct((B * nck, chunk // tile, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((B * nck, chunk // tile, Wp), jnp.int32),
         ],
         interpret=interpret,
     )(chunks, meta)
 
-    # lane-tile reduction in XLA on the 4x-smaller array
+    # crop the column halo, then lane-tile reduce in XLA (4x-smaller array)
     Ht, Wt = H // tile, W // tile
-    rmax = rmax.reshape(B, Ht, Wt, tile)
-    rarg = rarg.reshape(B, Ht, Wt, tile)
+    rmax = rmax[:, :, hc : hc + W].reshape(B, Ht, Wt, tile)
+    rarg = rarg[:, :, hc : hc + W].reshape(B, Ht, Wt, tile)
     dx = jnp.argmax(rmax, axis=-1)
     tile_max = jnp.take_along_axis(rmax, dx[..., None], axis=-1)[..., 0]
     dy = jnp.take_along_axis(rarg, dx[..., None], axis=-1)[..., 0]

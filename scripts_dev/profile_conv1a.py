@@ -57,7 +57,9 @@ def expand_w(w, s):
 
     k = w.shape[0]
     r = k // 2
-    kp = (s + k - 2) // s + 1  # taps needed in s2d space
+    # for k=3 (r=1): source offset A = (p + dy - r) // s is always in
+    # {-1, 0, 1} for any s >= 1 -> 3 taps in s2d space
+    kp = 3
     out = np.zeros((kp, kp, s * s, s * s * w.shape[-1]), w.dtype)
     for p in range(s):
         for q in range(s):

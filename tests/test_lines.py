@@ -307,3 +307,32 @@ def test_gluestick_line_attention_variant():
     assert pred["line_log_assignment"].shape == (B, L + 1, L + 1)
     assert np.isfinite(np.asarray(pred["log_assignment"])).any()
     assert (np.asarray(pred["line_matches0"])[:, L - 2 :] == -1).all()
+
+
+def test_cluster_endpoints_dbscan_chain_and_scores():
+    """Transitive eps-chains must merge into ONE junction (DBSCAN
+    min_samples=1 semantics, reference wireframe.py:55) and junction scores
+    are the mean of member LINE scores."""
+    # endpoints at x = 0, 1.8, 3.6: pairwise 0-1.8 and 1.8-3.6 within eps=2,
+    # 0-3.6 not — a chain that greedy nearest-center clustering would split
+    lines = np.array(
+        [
+            [[0.0, 0.0], [100.0, 0.0]],
+            [[1.8, 0.0], [100.0, 50.0]],
+            [[3.6, 0.0], [0.0, 100.0]],
+        ],
+        np.float32,
+    )
+    valid = np.ones(3, bool)
+    scores = np.array([0.3, 0.6, 0.9], np.float32)
+    junctions, jscores, jvalid, assign = cluster_endpoints_host(
+        lines, valid, radius=2.0, line_scores=scores
+    )
+    # chain start endpoints merge into one junction; 3 far endpoints stay
+    assert jvalid.sum() == 4
+    assert assign[0, 0] == assign[1, 0] == assign[2, 0]
+    j = assign[0, 0]
+    np.testing.assert_allclose(junctions[j], [1.8, 0.0], atol=1e-5)
+    np.testing.assert_allclose(jscores[j], (0.3 + 0.6 + 0.9) / 3, atol=1e-5)
+    # singleton junction score = its line's score
+    np.testing.assert_allclose(jscores[assign[0, 1]], 0.3, atol=1e-6)

@@ -140,3 +140,46 @@ def test_native_relative_pose_estimator():
     r_err, t_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
     assert float(r_err) < 2.0, float(r_err)
     assert float(t_err) < 5.0, float(t_err)
+
+
+def test_native_two_view_estimator_general_scene():
+    """COLMAP-style model selection picks the essential-matrix pose for a
+    general 3D scene."""
+    kpts0, kpts1, cam, T_gt = make_epipolar_data(seed=5)
+    est = load_estimator("relative_pose", "two_view_native")({"ransac_th": 1.5})
+    out = est({"m_kpts0": kpts0, "m_kpts1": kpts1, "camera0": cam, "camera1": cam})
+    assert out["success"]
+    r_err, t_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
+    assert float(r_err) < 2.0
+    assert float(t_err) < 5.0
+
+
+def test_native_two_view_estimator_planar_scene():
+    """A purely planar scene routes through the homography-decomposition
+    pose path and still recovers R/t."""
+    rng = np.random.default_rng(7)
+    from gluefactory_tpu.geometry.utils import so3exp_map
+
+    R = np.asarray(so3exp_map(jnp.asarray([0.06, -0.08, 0.02], jnp.float32)))
+    t = np.array([0.8, 0.1, 0.05], np.float32)
+    t = t / np.linalg.norm(t)
+    f, cx, cy = 500.0, 320.0, 240.0
+    cam = Camera(
+        size=jnp.asarray([640.0, 480.0]), f=jnp.asarray([f, f]), c=jnp.asarray([cx, cy])
+    )
+    # all points on the plane z = 5 (in view-0 coordinates)
+    xy = rng.uniform(-2, 2, (120, 2)).astype(np.float32)
+    p3d = np.concatenate([xy, np.full((120, 1), 5.0, np.float32)], axis=1)
+    p0 = p3d[:, :2] / p3d[:, 2:] * f + np.array([cx, cy])
+    p3d_1 = p3d @ R.T + t
+    p1 = p3d_1[:, :2] / p3d_1[:, 2:] * f + np.array([cx, cy])
+    p0 = (p0 + rng.normal(0, 0.2, p0.shape)).astype(np.float32)
+    p1 = (p1 + rng.normal(0, 0.2, p1.shape)).astype(np.float32)
+    T_gt = Pose.from_Rt(jnp.asarray(R), jnp.asarray(t))
+
+    est = load_estimator("relative_pose", "two_view_native")({"ransac_th": 2.0})
+    out = est({"m_kpts0": p0, "m_kpts1": p1, "camera0": cam, "camera1": cam})
+    assert out["success"]
+    r_err, t_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
+    assert float(r_err) < 3.0, float(r_err)
+    assert float(t_err) < 10.0, float(t_err)
