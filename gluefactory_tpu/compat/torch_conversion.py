@@ -298,11 +298,133 @@ def convert_gluestick(sd: dict, n_layers: int = 9, dim: int = 256, num_heads: in
     return params, stats
 
 
+def convert_loftr(sd: dict, coarse_layers: int = 4, fine_layers: int = 1):
+    """Official LoFTR checkpoints (outdoor_ds.ckpt / indoor_ds.ckpt,
+    `state_dict` under "state_dict" with "matcher." prefixes in some
+    releases) -> our `models/matchers/loftr.py` layout. PENDING validation
+    against real weights (not downloadable in this environment) — the
+    name mapping follows the official module tree."""
+    sd = strip_prefixes(sd, ("matcher.", "model.", "module."))
+    params: dict = {}
+    stats: dict = {}
+    bb: dict = {}
+    bb_stats: dict = {}
+
+    def bb_convbn(dst, src_conv, src_bn):
+        bb[dst] = {
+            "conv": {"kernel": _conv(sd[f"{src_conv}.weight"])},
+            "bn": {
+                "scale": np.asarray(sd[f"{src_bn}.weight"]),
+                "bias": np.asarray(sd[f"{src_bn}.bias"]),
+            },
+        }
+        bb_stats[dst] = {
+            "bn": {
+                "mean": np.asarray(sd[f"{src_bn}.running_mean"]),
+                "var": np.asarray(sd[f"{src_bn}.running_var"]),
+            }
+        }
+
+    bb_convbn("stem", "backbone.conv1", "backbone.bn1")
+    for li, blocks in (("layer1", 2), ("layer2", 2), ("layer3", 2)):
+        for bi in range(blocks):
+            base = f"backbone.{li}.{bi}"
+            dst = f"{li}_{bi}"
+            sub: dict = {}
+            sub_stats: dict = {}
+            for cname, cn, bn_ in (("conv1", "conv1", "bn1"),
+                                   ("conv2", "conv2", "bn2")):
+                sub[cname] = {
+                    "conv": {"kernel": _conv(sd[f"{base}.{cn}.weight"])},
+                    "bn": {
+                        "scale": np.asarray(sd[f"{base}.{bn_}.weight"]),
+                        "bias": np.asarray(sd[f"{base}.{bn_}.bias"]),
+                    },
+                }
+                sub_stats[cname] = {
+                    "bn": {
+                        "mean": np.asarray(sd[f"{base}.{bn_}.running_mean"]),
+                        "var": np.asarray(sd[f"{base}.{bn_}.running_var"]),
+                    }
+                }
+            if f"{base}.downsample.0.weight" in sd:
+                sub["downsample"] = {
+                    "conv": {"kernel": _conv(sd[f"{base}.downsample.0.weight"])},
+                    "bn": {
+                        "scale": np.asarray(sd[f"{base}.downsample.1.weight"]),
+                        "bias": np.asarray(sd[f"{base}.downsample.1.bias"]),
+                    },
+                }
+                sub_stats["downsample"] = {
+                    "bn": {
+                        "mean": np.asarray(
+                            sd[f"{base}.downsample.1.running_mean"]),
+                        "var": np.asarray(
+                            sd[f"{base}.downsample.1.running_var"]),
+                    }
+                }
+            bb[dst] = sub
+            bb_stats[dst] = sub_stats
+    for name in ("layer3_outconv", "layer2_outconv", "layer1_outconv"):
+        bb[name] = {"kernel": _conv(sd[f"backbone.{name}.weight"])}
+    for pre in ("layer2_outconv2", "layer1_outconv2"):
+        bb[f"{pre}_0"] = {
+            "conv": {"kernel": _conv(sd[f"backbone.{pre}.0.weight"])},
+            "bn": {
+                "scale": np.asarray(sd[f"backbone.{pre}.1.weight"]),
+                "bias": np.asarray(sd[f"backbone.{pre}.1.bias"]),
+            },
+        }
+        bb_stats[f"{pre}_0"] = {
+            "bn": {
+                "mean": np.asarray(sd[f"backbone.{pre}.1.running_mean"]),
+                "var": np.asarray(sd[f"backbone.{pre}.1.running_var"]),
+            }
+        }
+        bb[f"{pre}_1"] = {"kernel": _conv(sd[f"backbone.{pre}.3.weight"])}
+    params["backbone"] = bb
+    stats["backbone"] = bb_stats
+
+    def enc_layer(dst, src):
+        params[dst] = {
+            "q_proj": {"kernel": _t(sd[f"{src}.q_proj.weight"])},
+            "k_proj": {"kernel": _t(sd[f"{src}.k_proj.weight"])},
+            "v_proj": {"kernel": _t(sd[f"{src}.v_proj.weight"])},
+            "merge": {"kernel": _t(sd[f"{src}.merge.weight"])},
+            "mlp_0": {"kernel": _t(sd[f"{src}.mlp.0.weight"])},
+            "mlp_1": {"kernel": _t(sd[f"{src}.mlp.2.weight"])},
+            "norm1": {
+                "scale": np.asarray(sd[f"{src}.norm1.weight"]),
+                "bias": np.asarray(sd[f"{src}.norm1.bias"]),
+            },
+            "norm2": {
+                "scale": np.asarray(sd[f"{src}.norm2.weight"]),
+                "bias": np.asarray(sd[f"{src}.norm2.bias"]),
+            },
+        }
+
+    for i in range(2 * coarse_layers):
+        enc_layer(f"coarse_{i}", f"loftr_coarse.layers.{i}")
+    for i in range(2 * fine_layers):
+        enc_layer(f"fine_{i}", f"loftr_fine.layers.{i}")
+    if "fine_preprocess.down_proj.weight" in sd:
+        params["down_proj"] = {
+            "kernel": _t(sd["fine_preprocess.down_proj.weight"]),
+            "bias": np.asarray(sd["fine_preprocess.down_proj.bias"]),
+        }
+        params["merge_feat"] = {
+            "kernel": _t(sd["fine_preprocess.merge_feat.weight"]),
+            "bias": np.asarray(sd["fine_preprocess.merge_feat.bias"]),
+        }
+    return params, stats
+
+
 CONVERTERS = {
     "superpoint": convert_superpoint,
     "lightglue": convert_lightglue,
     "superglue": convert_superglue,
     "gluestick": convert_gluestick,
+    "loftr": convert_loftr,
 }
 
 

@@ -54,3 +54,26 @@ def test_set_dotted():
     c = Config({"a": {"b": 1}})
     c2 = c.set("a.b", 5).set("a.new", 7)
     assert c2.a.b == 5 and c2.a.new == 7 and c.a.b == 1
+
+
+def test_all_shipped_configs_parse_and_resolve():
+    """Every yaml under configs/ must parse, and its model section (when
+    present) must resolve through the registry to constructible confs."""
+    from pathlib import Path
+
+    from gluefactory_tpu.models import get_model
+
+    cfg_dir = Path(__file__).parent.parent / "gluefactory_tpu" / "configs"
+    files = sorted(cfg_dir.glob("*.yaml"))
+    assert len(files) >= 25
+    for f in files:
+        conf = from_yaml(str(f))
+        model = conf.get("model") if hasattr(conf, "get") else None
+        if model is None or "name" not in model:
+            continue
+        name = model["name"]
+        try:
+            cls = get_model(name)
+        except ImportError:
+            continue  # gated third-party wrapper
+        assert cls is not None, f.name
