@@ -72,3 +72,35 @@ def test_hpatches_eval_pipeline(fake_hpatches, tmp_path):
     assert "H_error_ransac@3px" in s or "H_error_ransac_mAA" in s
     assert "mnum_matches" in s
     assert len(r["H_error_dlt"]) == 10
+
+
+def test_hpatches_eval_pipeline_matcher_only_loftr(fake_hpatches, tmp_path):
+    """Dense detector-free matchers produce their OWN keypoints: the
+    pipeline must run with no extractor (native LoFTR) through the full
+    two-loop protocol."""
+    from gluefactory_tpu.eval.hpatches import HPatchesPipeline
+
+    pipeline = HPatchesPipeline(
+        {
+            "data": {
+                "preprocessing": {"resize": 160, "side": "short",
+                                  "edge_divisible_by": 8},
+                "num_workers": 0,
+            },
+            "model": {
+                "name": "two_view_pipeline",
+                "matcher": {
+                    "name": "loftr",
+                    "max_num_matches": 64,
+                    "coarse_layers": 1,
+                    "match_threshold": 0.0,
+                },
+            },
+            "eval": {"estimator": "opencv", "ransac_th": 3.0},
+        }
+    )
+    exp_dir = tmp_path / "eval_loftr"
+    s, f, r = pipeline.run(exp_dir, overwrite=True, overwrite_eval=True)
+    assert (exp_dir / "predictions.h5").exists()
+    assert "mnum_matches" in s
+    assert len(r["H_error_dlt"]) == 10
