@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ...ops.assignment import log_double_softmax
 from ..base_model import BaseModel
-from .lightglue import normalize_keypoints
+from .superglue import normalize_keypoints_sg as normalize_keypoints
 from .superglue import MLP, AttentionalPropagation
 
 
@@ -44,7 +44,12 @@ class EndPtEncoder(nn.Module):
             [
                 endpoints.reshape(B, 2 * L, 2),
                 offsets.reshape(B, 2 * L, 2),
-                jnp.tile(scores[:, :, None], (1, 1, 2)).reshape(B, 2 * L)[..., None],
+                # reference quirk (gluestick.py:519 `scores.repeat(1, 2)`):
+                # the score channel is [s0..sL-1, s0..sL-1] while endpoints
+                # are interleaved [l0e0, l0e1, l1e0, ...] — endpoint 2i+j gets
+                # s_{(2i+j) mod L}, not s_i; official weights are trained
+                # with this alignment, so it must be reproduced exactly
+                jnp.tile(scores, (1, 2))[..., None],
             ],
             axis=-1,
         )  # (B, 2L, 5)
