@@ -80,6 +80,7 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 class SelfBlock(nn.Module):
     dim: int
     num_heads: int
+    flash: bool | None = None
 
     @nn.compact
     def __call__(self, x, enc, mask=None):
@@ -91,7 +92,7 @@ class SelfBlock(nn.Module):
         v = split_heads(v, self.num_heads)
         q = apply_rotary(q, cos[:, None], sin[:, None])
         k = apply_rotary(k, cos[:, None], sin[:, None])
-        ctx = mha(q, k, v, mask_q=mask, mask_k=mask)
+        ctx = mha(q, k, v, mask_q=mask, mask_k=mask, flash=self.flash)
         message = nn.Dense(self.dim, name="out_proj")(merge_heads(ctx))
         return FFN(self.dim, name="ffn")(x, message)
 
@@ -99,6 +100,7 @@ class SelfBlock(nn.Module):
 class CrossBlock(nn.Module):
     dim: int
     num_heads: int
+    flash: bool | None = None
 
     @nn.compact
     def __call__(self, x0, x1, mask0=None, mask1=None):
@@ -119,7 +121,9 @@ class CrossBlock(nn.Module):
             qk1 = split_heads(to_qk(x1), self.num_heads)
             v0 = split_heads(to_v(x0), self.num_heads)
             v1 = split_heads(to_v(x1), self.num_heads)
-        m0, m1 = bidirectional_attention(qk0, qk1, v0, v1, mask0, mask1)
+        m0, m1 = bidirectional_attention(
+            qk0, qk1, v0, v1, mask0, mask1, flash=self.flash
+        )
         out_proj = nn.Dense(self.dim, name="out_proj")
         ffn = FFN(self.dim, name="ffn")
         if stacked:
@@ -135,10 +139,11 @@ class CrossBlock(nn.Module):
 class TransformerLayer(nn.Module):
     dim: int
     num_heads: int
+    flash: bool | None = None
 
     @nn.compact
     def __call__(self, desc0, desc1, enc0, enc1, mask0=None, mask1=None):
-        self_attn = SelfBlock(self.dim, self.num_heads, name="self_attn")
+        self_attn = SelfBlock(self.dim, self.num_heads, self.flash, name="self_attn")
         if desc0.shape == desc1.shape:
             # both views through ONE batched self-attention pass (weights are
             # shared; the stack halves dispatches and doubles kernel batch)
@@ -160,9 +165,9 @@ class TransformerLayer(nn.Module):
         else:
             desc0 = self_attn(desc0, enc0, mask0)
             desc1 = self_attn(desc1, enc1, mask1)
-        desc0, desc1 = CrossBlock(self.dim, self.num_heads, name="cross_attn")(
-            desc0, desc1, mask0, mask1
-        )
+        desc0, desc1 = CrossBlock(
+            self.dim, self.num_heads, self.flash, name="cross_attn"
+        )(desc0, desc1, mask0, mask1)
         return desc0, desc1
 
 
@@ -226,7 +231,10 @@ class LightGlue(BaseModel):
         self.posenc = LearnableFourierPosEnc(head_dim, name="posenc")
         layer_cls = nn.remat(TransformerLayer) if c.checkpointed else TransformerLayer
         self.transformers = [
-            layer_cls(c.descriptor_dim, c.num_heads, name=f"transformers_{i}")
+            layer_cls(
+                c.descriptor_dim, c.num_heads, bool(c.flash),
+                name=f"transformers_{i}",
+            )
             for i in range(c.n_layers)
         ]
         self.log_assignment = [
@@ -261,34 +269,26 @@ class LightGlue(BaseModel):
         enc0 = self.posenc(p0)
         enc1 = self.posenc(p1)
 
-        # conf.flash gates the fused Pallas attention kernel for this model
-        # (applied at trace time; the global switch stays authoritative)
-        from ...ops import attention as _attn
-
-        flash_before = _attn._FLASH_ENABLED
-        _attn._FLASH_ENABLED = flash_before and bool(c.flash)
-
-        try:
-            do_prune = not train and (c.depth_confidence > 0 or c.width_confidence > 0)
-            if do_prune:
-                scores, prune0, prune1 = self._pruned_forward(
+        # conf.flash reaches the attention call sites as a module attribute
+        # on each TransformerLayer (threaded, not a module-global toggle)
+        do_prune = not train and (c.depth_confidence > 0 or c.width_confidence > 0)
+        if do_prune:
+            scores, prune0, prune1 = self._pruned_forward(
+                desc0, desc1, enc0, enc1, mask0, mask1
+            )
+            all_desc0, all_desc1 = [], []
+        else:
+            all_desc0, all_desc1 = [], []
+            for i in range(c.n_layers):
+                desc0, desc1 = self.transformers[i](
                     desc0, desc1, enc0, enc1, mask0, mask1
                 )
-                all_desc0, all_desc1 = [], []
-            else:
-                all_desc0, all_desc1 = [], []
-                for i in range(c.n_layers):
-                    desc0, desc1 = self.transformers[i](
-                        desc0, desc1, enc0, enc1, mask0, mask1
-                    )
-                    if train:
-                        all_desc0.append(desc0)
-                        all_desc1.append(desc1)
-                scores, sim, z0, z1 = self.log_assignment[c.n_layers - 1](
-                    desc0, desc1, mask0, mask1
-                )
-        finally:
-            _attn._FLASH_ENABLED = flash_before
+                if train:
+                    all_desc0.append(desc0)
+                    all_desc1.append(desc1)
+            scores, sim, z0, z1 = self.log_assignment[c.n_layers - 1](
+                desc0, desc1, mask0, mask1
+            )
         m0, m1, mscores0, mscores1 = filter_matches(scores, c.filter_threshold, mask0, mask1)
 
         pred = {
@@ -328,8 +328,12 @@ class LightGlue(BaseModel):
         N = desc1.shape[1]
         active0 = mask0 if mask0 is not None else jnp.ones((B, M), bool)
         active1 = mask1 if mask1 is not None else jnp.ones((B, N), bool)
-        prune0 = jnp.zeros((B, M), jnp.int32)  # exit layer per token
-        prune1 = jnp.zeros((B, N), jnp.int32)
+        # reference convention (lightglue.py:468-470,504-511): prune starts at
+        # 1 and each token KEPT through a pruning round gains +1, i.e.
+        # prune = 1 + number of pruning rounds survived (= n_layers when
+        # never pruned; = n_layers everywhere when width pruning is off)
+        prune0 = jnp.ones((B, M), jnp.int32)
+        prune1 = jnp.ones((B, N), jnp.int32)
         stopped = jnp.zeros((B,), bool)
         final_scores = jnp.full((B, M + 1, N + 1), -jnp.inf, desc0.dtype)
 
@@ -343,11 +347,15 @@ class LightGlue(BaseModel):
             last = i == c.n_layers - 1
             if not last:
                 conf_th = self._confidence_threshold(i)
-                c0, c1 = self.token_confidence[i](desc0, desc1)
-                # depth pruning: stop when the confident ratio is high enough
+                # the reference computes token confidences only for the depth
+                # check (token0/1 stay None when depth pruning is off, and the
+                # width keep-rule then drops its low-confidence clause,
+                # lightglue.py:549-556)
+                c0 = c1 = None
                 if c.depth_confidence > 0:
-                    confident0 = (c0 > conf_th) | ~active0
-                    confident1 = (c1 > conf_th) | ~active1
+                    c0, c1 = self.token_confidence[i](desc0, desc1)
+                    confident0 = (c0 >= conf_th) | ~active0
+                    confident1 = (c1 >= conf_th) | ~active1
                     num = jnp.maximum(
                         active0.sum(-1) + active1.sum(-1), 1
                     ).astype(jnp.float32)
@@ -363,21 +371,23 @@ class LightGlue(BaseModel):
                 stopped = stopped | stop_now
                 # width pruning: drop confidently-unmatchable tokens
                 if c.width_confidence > 0:
-                    keep0 = (jax.nn.sigmoid(z0_i) > (1.0 - c.width_confidence)) | (
-                        c0 <= conf_th
-                    )
-                    keep1 = (jax.nn.sigmoid(z1_i) > (1.0 - c.width_confidence)) | (
-                        c1 <= conf_th
-                    )
+                    keep0 = jax.nn.sigmoid(z0_i) > (1.0 - c.width_confidence)
+                    keep1 = jax.nn.sigmoid(z1_i) > (1.0 - c.width_confidence)
+                    if c0 is not None:  # low-confidence points are never pruned
+                        keep0 = keep0 | (c0 <= conf_th)
+                        keep1 = keep1 | (c1 <= conf_th)
                     new_active0 = active0 & jnp.where(stopped[:, None], active0, keep0)
                     new_active1 = active1 & jnp.where(stopped[:, None], active1, keep1)
-                    prune0 = prune0 + (active0 & ~new_active0) * (i + 1)
-                    prune1 = prune1 + (active1 & ~new_active1) * (i + 1)
+                    prune0 = prune0 + (new_active0 & ~stopped[:, None])
+                    prune1 = prune1 + (new_active1 & ~stopped[:, None])
                     active0, active1 = new_active0, new_active1
             else:
                 final_scores = jnp.where(
                     stopped[:, None, None], final_scores, scores_i
                 )
+        if not c.width_confidence > 0:
+            prune0 = jnp.full((B, M), c.n_layers, jnp.int32)
+            prune1 = jnp.full((B, N), c.n_layers, jnp.int32)
         return final_scores, prune0, prune1
 
     def initialize(self, data: dict) -> dict:

@@ -37,18 +37,23 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndar
 
 # The fused kernel is differentiable through a custom VJP (fused forward,
 # reference backward — see pallas_attention.flash_mha), so it is usable in
-# training too. Models gate it at trace time via conf.flash.
-_FLASH_ENABLED: bool = True
+# training too. Callers gate it per call via the `flash` argument (models
+# thread conf.flash down explicitly); `flash=None` falls back to this
+# process-level default, which is only ever set before tracing (e.g. by
+# benchmark scripts), never mutated at trace time.
+_FLASH_DEFAULT: bool = True
 
 
 def set_flash(enabled: bool):
-    """Globally toggle the fused Pallas attention kernel (TPU only)."""
-    global _FLASH_ENABLED
-    _FLASH_ENABLED = enabled
+    """Set the process-level default for the fused Pallas attention kernel
+    (used when a call site passes flash=None). Do not call inside traced
+    code — pass `flash=` explicitly instead."""
+    global _FLASH_DEFAULT
+    _FLASH_DEFAULT = enabled
 
 
-def _use_flash(n: int, d: int) -> bool:
-    if not _FLASH_ENABLED:
+def _use_flash(n: int, d: int, flash: bool | None) -> bool:
+    if not (_FLASH_DEFAULT if flash is None else flash):
         return False
     try:
         import jax
@@ -68,6 +73,7 @@ def mha(
     v: jnp.ndarray,
     mask_q: jnp.ndarray | None = None,
     mask_k: jnp.ndarray | None = None,
+    flash: bool | None = None,
 ) -> jnp.ndarray:
     """Masked scaled-dot-product attention.
 
@@ -75,9 +81,10 @@ def mha(
     Returns (B, H, M, D). Fully-masked query rows return zeros.
 
     On TPU, routes through the fused Pallas kernel (`ops/pallas_attention.py`)
-    when the problem fits VMEM; the jnp path below is the reference semantics.
+    when `flash` allows it (None = process default) and the problem fits VMEM;
+    the jnp path below is the reference semantics.
     """
-    if _use_flash(k.shape[2], q.shape[-1]):
+    if _use_flash(k.shape[2], q.shape[-1], flash):
         from .pallas_attention import flash_mha
 
         B, N = k.shape[0], k.shape[2]
@@ -110,6 +117,7 @@ def bidirectional_attention(
     v1: jnp.ndarray,
     mask0: jnp.ndarray | None = None,
     mask1: jnp.ndarray | None = None,
+    flash: bool | None = None,
 ):
     """Shared-QK cross-attention in both directions (reference
     `lightglue.py:195-221`): the similarity matrix qk0 @ qk1^T is used
@@ -117,9 +125,9 @@ def bidirectional_attention(
 
     qk0: (B, H, M, D), qk1: (B, H, N, D). Returns (m0 (B,H,M,D), m1 (B,H,N,D)).
     """
-    if _use_flash(max(qk0.shape[2], qk1.shape[2]), qk0.shape[-1]):
-        m0 = mha(qk0, qk1, v1, mask_q=mask0, mask_k=mask1)
-        m1 = mha(qk1, qk0, v0, mask_q=mask1, mask_k=mask0)
+    if _use_flash(max(qk0.shape[2], qk1.shape[2]), qk0.shape[-1], flash):
+        m0 = mha(qk0, qk1, v1, mask_q=mask0, mask_k=mask1, flash=flash)
+        m1 = mha(qk1, qk0, v0, mask_q=mask1, mask_k=mask0, flash=flash)
         return m0, m1
     dtype = qk0.dtype
     scale = 1.0 / jnp.sqrt(jnp.asarray(qk0.shape[-1], jnp.float32))
