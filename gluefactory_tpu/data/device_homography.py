@@ -25,14 +25,14 @@ from ..geometry.homography import compute_homography_dlt
 from ..ops.warp import photometric_jitter, warp_perspective, warp_perspective_tiled
 
 
-def sample_corner_homographies(
-    rng, batch: int, source_size, patch_size, difficulty: float = 0.5,
+def sample_corner_quads(
+    rng, batch: int, source_size, difficulty: float = 0.5,
     translation: float = 1.0, dtype=jnp.float32,
 ):
-    """Sample (B, 3, 3) homographies mapping SOURCE pixel coords to PATCH
-    pixel coords (cv2.warpPerspective convention used by `warp_perspective`)."""
+    """Sample (B, 4, 2) convex source quadrilaterals plus the translated
+    inner rectangle (B, 4, 2) they were perturbed from (the λ=0 fallback of
+    the window-safety clamp below)."""
     sw, sh = float(source_size[0]), float(source_size[1])
-    pw, ph = float(patch_size[0]), float(patch_size[1])
     k_pert, k_trans = jax.random.split(rng)
 
     # base source quadrilateral: centered patch of fractional size (1 - difficulty/2)
@@ -63,14 +63,94 @@ def sample_corner_homographies(
     t = jax.random.uniform(k_trans, (batch, 2), dtype=dtype, minval=-1.0, maxval=1.0)
     tx = translation * jnp.where(t[:, 0] < 0, t[:, 0] * left, t[:, 0] * right)
     ty = translation * jnp.where(t[:, 1] < 0, t[:, 1] * top, t[:, 1] * bottom)
-    quad = quad + jnp.stack([tx, ty], axis=-1)[:, None, :]
+    shift = jnp.stack([tx, ty], axis=-1)[:, None, :]
+    return quad + shift, inner[None] + shift
 
-    patch_corners = jnp.asarray(
-        [[0.0, 0.0], [pw, 0.0], [pw, ph], [0.0, ph]], dtype
+
+def _patch_corners(batch: int, patch_size, dtype=jnp.float32):
+    pw, ph = float(patch_size[0]), float(patch_size[1])
+    corners = jnp.asarray([[0.0, 0.0], [pw, 0.0], [pw, ph], [0.0, ph]], dtype)
+    return jnp.tile(corners[None], (batch, 1, 1))
+
+
+def sample_corner_homographies(
+    rng, batch: int, source_size, patch_size, difficulty: float = 0.5,
+    translation: float = 1.0, dtype=jnp.float32,
+):
+    """Sample (B, 3, 3) homographies mapping SOURCE pixel coords to PATCH
+    pixel coords (cv2.warpPerspective convention used by `warp_perspective`)."""
+    quad, _ = sample_corner_quads(
+        rng, batch, source_size, difficulty, translation, dtype
     )
-    patch_corners = jnp.tile(patch_corners[None], (batch, 1, 1))
-    # H maps source -> patch
-    return compute_homography_dlt(quad, patch_corners)
+    return compute_homography_dlt(quad, _patch_corners(batch, patch_size, dtype))
+
+
+def _max_tile_footprint(H, patch_size, tile=(16, 128)):
+    """Per-batch max source-footprint bbox (h, w) over all output tiles.
+
+    Exact: a projective map keeps tile edges straight, so each tile's
+    footprint is the quad of its 4 projected corners and the bbox is
+    corner-determined (same reasoning as `warp_perspective_tiled`).
+    """
+    pw, ph = int(patch_size[0]), int(patch_size[1])
+    th, tw = tile
+    ny = -(-ph // th)
+    nx = -(-pw // tw)
+    xs = jnp.arange(nx + 1, dtype=jnp.float32) * tw
+    ys = jnp.arange(ny + 1, dtype=jnp.float32) * th
+    gx = jnp.tile(xs[None, :], (ny + 1, 1))
+    gy = jnp.tile(ys[:, None], (1, nx + 1))
+    p = jnp.stack([gx.ravel(), gy.ravel(), jnp.ones((ny + 1) * (nx + 1))], axis=0)
+    Hinv = jnp.linalg.inv(H)
+    q = Hinv @ p[None]  # (B, 3, P)
+    u = (q[:, 0] / (q[:, 2] + 1e-12)).reshape(-1, ny + 1, nx + 1)
+    v = (q[:, 1] / (q[:, 2] + 1e-12)).reshape(-1, ny + 1, nx + 1)
+
+    def tile_extent(a):
+        # 2x2 adjacent corner stencil per tile
+        c = jnp.stack(
+            [a[:, :-1, :-1], a[:, :-1, 1:], a[:, 1:, :-1], a[:, 1:, 1:]], axis=-1
+        )
+        return (c.max(-1) - c.min(-1)).max(axis=(1, 2))  # (B,)
+
+    return tile_extent(v), tile_extent(u)  # (fh, fw)
+
+
+def _sample_window_safe_homography(
+    rng, batch: int, source_size, patch_size, difficulty, translation, window,
+    tile=(16, 128), margin: float = 3.0,
+):
+    """Sample homographies whose every output-tile source footprint PROVABLY
+    fits the static `window` of `warp_perspective_tiled` (out-of-window
+    pixels would otherwise silently read as zero, corrupting training
+    imagery at high difficulty).
+
+    Per batch element, the sampled quad is blended toward its translated
+    inner rectangle (quad_λ = inner + λ(quad − inner)) and the largest
+    λ ∈ {1, .75, .5, .25, 0} whose footprint fits is kept. λ=0 is an
+    axis-aligned scaling with footprint tile*(1−difficulty)*scale < window,
+    so a safe choice always exists; the clamp only engages on the rare
+    extreme-perspective draws.
+    """
+    quad, inner = sample_corner_quads(
+        rng, batch, source_size, difficulty, translation, jnp.float32
+    )
+    corners = _patch_corners(batch, patch_size, jnp.float32)
+    wh, ww = float(window[0]), float(window[1])
+    H_best = None
+    fits_prev = None
+    for lam in (1.0, 0.75, 0.5, 0.25, 0.0):
+        q = inner + lam * (quad - inner)
+        Hl = compute_homography_dlt(q, corners)
+        fh, fw = _max_tile_footprint(Hl, patch_size, tile)
+        fits = (fh <= wh - margin) & (fw <= ww - margin)
+        if H_best is None:
+            H_best, fits_prev = Hl, fits
+        else:
+            take = fits & ~fits_prev
+            H_best = jnp.where(take[:, None, None], Hl, H_best)
+            fits_prev = fits_prev | fits
+    return H_best
 
 
 def generate_homography_pairs(
@@ -90,16 +170,8 @@ def generate_homography_pairs(
     B = source_images.shape[0]
     sh, sw = source_images.shape[1:3]
     k0, k1, kp0, kp1 = jax.random.split(rng, 4)
-    H0 = sample_corner_homographies(
-        k0, B, (sw, sh), patch_size, difficulty, translation,
-        dtype=jnp.float32,
-    )
-    H1 = sample_corner_homographies(
-        k1, B, (sw, sh), patch_size, difficulty, translation,
-        dtype=jnp.float32,
-    )
     if warp_impl == "tiled":
-        # window sized for the sampler above: the source footprint of a
+        # window sized for the common case: the source footprint of a
         # (16, 128) output tile is bounded by the patch->source scale
         # (quad <= source frame) plus rotation/perspective spread
         sx = max(1.0, sw / float(patch_size[0]))
@@ -114,8 +186,22 @@ def generate_homography_pairs(
                 int(np.ceil(sw / 128) * 128),
             ),
         )
+        H0 = _sample_window_safe_homography(
+            k0, B, (sw, sh), patch_size, difficulty, translation, win
+        )
+        H1 = _sample_window_safe_homography(
+            k1, B, (sw, sh), patch_size, difficulty, translation, win
+        )
         warp = lambda im, H: warp_perspective_tiled(im, H, patch_size, window=win)
     else:
+        H0 = sample_corner_homographies(
+            k0, B, (sw, sh), patch_size, difficulty, translation,
+            dtype=jnp.float32,
+        )
+        H1 = sample_corner_homographies(
+            k1, B, (sw, sh), patch_size, difficulty, translation,
+            dtype=jnp.float32,
+        )
         warp = lambda im, H: warp_perspective(im, H, patch_size)
     img0 = warp(source_images, H0)
     img1 = warp(source_images, H1)

@@ -136,8 +136,10 @@ def extract_patches(img, kpts, scales, oris, size: int = 32):
     cs, sn = jnp.cos(oris), jnp.sin(oris)
     px = (gxx[None] * cs[:, None, None] - gyy[None] * sn[:, None, None])
     py = (gxx[None] * sn[:, None, None] + gyy[None] * cs[:, None, None])
-    sx = kpts[:, 0, None, None] + px * scales[:, None, None]
-    sy = kpts[:, 1, None, None] + py * scales[:, None, None]
+    # kpts are COLMAP (+0.5 centers); array-index coords subtract 0.5,
+    # matching the repo-wide grid_sample_nd convention
+    sx = kpts[:, 0, None, None] - 0.5 + px * scales[:, None, None]
+    sy = kpts[:, 1, None, None] - 0.5 + py * scales[:, None, None]
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, W - 2)
     y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, H - 2)
     fx = jnp.clip(sx - x0, 0.0, 1.0)

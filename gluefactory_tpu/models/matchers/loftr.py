@@ -34,10 +34,13 @@ def sine_pos_encoding(h: int, w: int, dim: int) -> jnp.ndarray:
     """Official LoFTR PositionEncodingSine: (H, W, dim) with interleaved
     sin/cos over x and y at dim/4 frequencies each."""
     d4 = dim // 4
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :, None]
+    # official: positions are 1-indexed (ones().cumsum()), and
+    # div_term = exp(arange(0, d/2, 2) * (-log(10000) / (d/2)))
+    #          = exp(-k * log(10000) / (d/4)) for k in range(d/4)
+    ys = jnp.arange(1, h + 1, dtype=jnp.float32)[:, None, None]
+    xs = jnp.arange(1, w + 1, dtype=jnp.float32)[None, :, None]
     div = jnp.exp(
-        jnp.arange(d4, dtype=jnp.float32) * (-jnp.log(10000.0) / d4 * 2))
+        jnp.arange(d4, dtype=jnp.float32) * 2.0 * (-jnp.log(10000.0) / (dim // 2)))
     pe = jnp.zeros((h, w, dim), jnp.float32)
     pe = pe.at[..., 0::4].set(jnp.sin(xs * div) + 0 * ys)
     pe = pe.at[..., 1::4].set(jnp.cos(xs * div) + 0 * ys)
@@ -154,8 +157,10 @@ class LoFTR(BaseModel):
             f1n = self.coarse_layers_[2 * i + 1](f1, f0)
             f0, f1 = f0n, f1n
 
-        # dual-softmax coarse matching
-        scale = 1.0 / (c.dim_coarse**0.5)
+        # dual-softmax coarse matching; official divides BOTH features by
+        # C^0.5 (net 1/C) before the temperature, so converted official
+        # weights keep the match_threshold semantics
+        scale = 1.0 / c.dim_coarse
         sim = jnp.einsum(
             "bnd,bmd->bnm", f0 * scale, f1,
             preferred_element_type=jnp.float32) / c.temperature

@@ -217,10 +217,11 @@ def fused_nms_tile_reduce(scores, true_size=None, *, radius: int = 4,
     s = scores.astype(jnp.float32)
     # -inf halo on BOTH axes: rows = chunk overlap + top/bottom edge
     # semantics; columns = edge semantics + wrap-around absorption for the
-    # kernel's mask-free cyclic shifts (see _shift). Left pad 64 >= 5r;
-    # right pad rounds the padded width up to a 128-lane multiple.
-    hc = 64
-    Wp = W + hc + 64 + ((-(W + hc + 64)) % 128)
+    # kernel's mask-free cyclic shifts (see _shift). Column pads must cover
+    # the full shift halo on both sides (any radius/iters combination), then
+    # the padded width rounds up to a 128-lane multiple.
+    hc = max(64, -(-halo // 64) * 64)
+    Wp = W + 2 * hc + ((-(W + 2 * hc)) % 128)
     padded = jnp.pad(
         s, ((0, 0), (halo, halo), (hc, Wp - W - hc)),
         constant_values=-jnp.inf)

@@ -141,3 +141,27 @@ def test_loftr_converter_roundtrip():
                                         jnp.float32)}},
     )
     assert np.isfinite(np.asarray(out["matching_scores0"])).all()
+
+
+def test_sine_pos_encoding_matches_official_formula():
+    """Golden-value check against the official LoFTR PositionEncodingSine
+    (torch lines: ones().cumsum() positions, div_term =
+    exp(arange(0, d/2, 2) * (-log(10000) / (d/2))); channel-first layout
+    pe[0::4]=sin(x), [1::4]=cos(x), [2::4]=sin(y), [3::4]=cos(y))."""
+    import math
+
+    from gluefactory_tpu.models.matchers.loftr import sine_pos_encoding
+
+    h, w, d = 5, 7, 16
+    # independent numpy transcription of the official formula
+    y_pos = np.cumsum(np.ones((h, w)), axis=0)  # 1-indexed
+    x_pos = np.cumsum(np.ones((h, w)), axis=1)
+    div = np.exp(np.arange(0, d // 2, 2) * (-math.log(10000.0) / (d // 2)))
+    pe = np.zeros((d, h, w))
+    pe[0::4] = np.sin(x_pos[None] * div[:, None, None])
+    pe[1::4] = np.cos(x_pos[None] * div[:, None, None])
+    pe[2::4] = np.sin(y_pos[None] * div[:, None, None])
+    pe[3::4] = np.cos(y_pos[None] * div[:, None, None])
+
+    got = np.asarray(sine_pos_encoding(h, w, d))  # (H, W, d)
+    np.testing.assert_allclose(got, pe.transpose(1, 2, 0), atol=1e-6)
