@@ -456,3 +456,104 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def convert_aliked(sd: dict, model_name: str = "aliked-n16") -> tuple:
+    """Official ALIKED checkpoint (`{model_name}.pth`, layout of reference
+    `models/extractors/aliked.py:591-788`) -> (params, batch_stats) for
+    `models/extractors/aliked.ALIKED` (1:1 module layout)."""
+    sd = strip_prefixes(sd)
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(prefix):
+        p = {
+            "scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+        }
+        s = {
+            "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+            "var": np.asarray(sd[f"{prefix}.running_var"]),
+        }
+        return p, s
+
+    def plain_conv(prefix, bias=False):
+        out = {"kernel": _conv(sd[f"{prefix}.weight"])}
+        if bias:
+            out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+        return out
+
+    def dcn_conv(prefix):
+        return {
+            "offset_conv": plain_conv(f"{prefix}.offset_conv", bias=True),
+            "kernel": _conv(sd[f"{prefix}.regular_conv.weight"]),
+        }
+
+    def block(name, dcn, residual):
+        bp, bs = {}, {}
+        for i in (1, 2):
+            conv = f"{name}.conv{i}"
+            bp[f"conv{i}"] = dcn_conv(conv) if dcn else plain_conv(conv)
+            bnp, bns = bn(f"{name}.bn{i}")
+            bp[f"bn{i}"] = bnp
+            bs[f"bn{i}"] = bns
+        if residual:
+            bp["downsample"] = plain_conv(f"{name}.downsample", bias=True)
+        return bp, bs
+
+    for name, dcn, residual in (
+        ("block1", False, False),
+        ("block2", False, True),
+        ("block3", True, True),
+        ("block4", True, True),
+    ):
+        bp, bs = block(name, dcn, residual)
+        params[name] = bp
+        stats[name] = bs
+
+    for i in (1, 2, 3, 4):
+        params[f"conv{i}"] = plain_conv(f"conv{i}")
+    for j, i in ((0, 1), (2, 2), (4, 3), (6, 4)):
+        params[f"score_conv{i}"] = plain_conv(f"score_head.{j}")
+
+    # SDDH: Sequential offset_conv.{0,2}; sf_conv (1x1, no bias) becomes a
+    # Dense; agg_weights (M, C, C) copies straight through (einsum pcd)
+    params["desc_head"] = {
+        "offset_conv1": plain_conv("desc_head.offset_conv.0", bias=True),
+        "offset_conv2": plain_conv("desc_head.offset_conv.2", bias=True),
+        "sf_conv": {
+            "kernel": np.ascontiguousarray(
+                np.asarray(sd["desc_head.sf_conv.weight"])[:, :, 0, 0].T
+            )
+        },
+        "agg_weights": np.asarray(sd["desc_head.agg_weights"]),
+    }
+    return params, stats
+
+
+def convert_hardnet(sd: dict) -> tuple:
+    """Official HardNet checkpoint (`HardNet++.pth` / kornia `hardnet`;
+    canonical `features` Sequential with affine-free BatchNorms:
+    convs at 0,3,6,9,12,15, the 8x8 bottleneck conv at 19, BNs right after
+    each conv) -> (params, batch_stats) for
+    `models/extractors/keynet_affnet_hardnet.HardNet`."""
+    sd = strip_prefixes(sd)
+    if any(k.startswith("features.") for k in sd):
+        prefix = "features."
+    else:
+        prefix = ""
+    params: dict = {}
+    stats: dict = {}
+    conv_ids = (0, 3, 6, 9, 12, 15)
+    for i, ci in enumerate(conv_ids):
+        params[f"conv{i}"] = {"kernel": _conv(sd[f"{prefix}{ci}.weight"])}
+        stats[f"bn{i}"] = {
+            "mean": np.asarray(sd[f"{prefix}{ci + 1}.running_mean"]),
+            "var": np.asarray(sd[f"{prefix}{ci + 1}.running_var"]),
+        }
+    params["conv_final"] = {"kernel": _conv(sd[f"{prefix}19.weight"])}
+    stats["bn_final"] = {
+        "mean": np.asarray(sd[f"{prefix}20.running_mean"]),
+        "var": np.asarray(sd[f"{prefix}20.running_var"]),
+    }
+    return params, stats

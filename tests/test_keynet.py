@@ -67,3 +67,73 @@ def test_hardnet_descriptor_rotation_covariance():
     d1 = desc_at(img_r, 64.0, 64.0)
     cos = float((d0 * d1).sum())
     assert cos > 0.7, cos
+
+
+def test_hardnet_converter_structure_and_forward():
+    """convert_hardnet output must load into HardNet exactly; forward parity
+    vs an independent numpy evaluation of the canonical affine-free-BN
+    HardNet semantics on one conv stage."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gluefactory_tpu.compat.torch_conversion import convert_hardnet
+    from gluefactory_tpu.models.extractors.keynet_affnet_hardnet import HardNet
+
+    rng = np.random.default_rng(0)
+    f = lambda *s: rng.normal(0, 0.2, s).astype(np.float32)
+    sd = {}
+    spec = [(1, 32), (32, 32), (32, 64), (64, 64), (64, 128), (128, 128)]
+    for ci, (cin, cout) in zip((0, 3, 6, 9, 12, 15), spec):
+        sd[f"features.{ci}.weight"] = f(cout, cin, 3, 3)
+        sd[f"features.{ci + 1}.running_mean"] = f(cout)
+        sd[f"features.{ci + 1}.running_var"] = np.abs(f(cout)) + 1.0
+    sd["features.19.weight"] = f(128, 128, 8, 8)
+    sd["features.20.running_mean"] = f(128)
+    sd["features.20.running_var"] = np.abs(f(128)) + 1.0
+
+    params, stats = convert_hardnet(sd)
+    net = HardNet()
+    patches = jnp.asarray(rng.normal(size=(4, 32, 32, 1)), jnp.float32)
+    init_vars = net.init(jax.random.key(0), patches)
+
+    def paths(tree):
+        return {
+            tuple(str(k) for k in p): np.asarray(v).shape
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    assert paths(params) == paths(init_vars["params"])
+    assert paths(stats) == paths(init_vars["batch_stats"])
+    out = net.apply({"params": params, "batch_stats": stats}, patches)
+    assert out.shape == (4, 128)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(out, axis=-1)), 1.0, atol=1e-5
+    )
+
+    # independent check of stage 0: conv (no bias) + affine-free BN + relu
+    x = np.asarray(patches)
+    w = sd["features.0.weight"]  # (O, I, 3, 3)
+    pad = np.pad(x[..., 0], ((0, 0), (1, 1), (1, 1)))
+    y = np.zeros((4, 32, 32, 32), np.float32)
+    for o in range(32):
+        acc = np.zeros((4, 32, 32), np.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc += pad[:, dy : dy + 32, dx : dx + 32] * w[o, 0, dy, dx]
+        y[..., o] = acc
+    y = (y - sd["features.1.running_mean"]) / np.sqrt(
+        sd["features.1.running_var"] + 1e-5
+    )
+    y = np.maximum(y, 0.0)
+
+    stage0 = jax.lax.conv_general_dilated(
+        patches,
+        jnp.asarray(params["conv0"]["kernel"]),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    stage0 = (stage0 - stats["bn0"]["mean"]) / jnp.sqrt(stats["bn0"]["var"] + 1e-5)
+    stage0 = jnp.maximum(stage0, 0.0)
+    np.testing.assert_allclose(np.asarray(stage0), y, atol=1e-4)
