@@ -104,16 +104,19 @@ def test_overfit_loss_decreases(tiny_conf, tmp_path):
     batch_dev = shard_batch(batch, mesh)
 
     losses_hist = []
-    for i in range(30):
+    for i in range(80):
         variables, opt_state, losses, metrics, info = step(
             variables, opt_state, batch_dev, jax.random.key(i)
         )
         losses_hist.append(float(losses["total"]))
     assert np.isfinite(losses_hist).all()
-    assert losses_hist[-1] < losses_hist[0] * 0.7, losses_hist
-    # frozen extractor: SuperPoint params must be unchanged
-    # (trainable: False -> masked out of the optimizer)
-    assert float(metrics["match_recall"]) >= 0.0
+    # seeded convergence envelope (measured round 2 on the 8-device CPU
+    # mesh: loss 4.39 -> 1.03, recall 0 -> 0.75, precision 0.69 at step 80;
+    # bands are ~50% slack to absorb library-version jitter)
+    assert 3.0 < losses_hist[0] < 6.5, losses_hist[0]
+    assert losses_hist[-1] < 1.6, losses_hist[-5:]
+    assert float(metrics["match_recall"]) > 0.55, metrics
+    assert float(metrics["match_precision"]) > 0.5, metrics
 
 
 def test_multi_step_dispatch(tiny_conf, tmp_path):
