@@ -107,25 +107,37 @@ def main():
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return carry
 
-    # compile
-    float(bench_fn(variables, batch, n=ITERS))
+    # compile (and grab the XLA flop count for the MFU figure; use an n=1
+    # lowering so lax.scan trip-count accounting cannot skew it — lowering
+    # is trace-only, no extra device compile)
+    flops = None
+    try:
+        ca = bench_fn.lower(variables, batch, n=1).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) * ITERS or None
+    except Exception:
+        flops = None
+    compiled = bench_fn.lower(variables, batch, n=ITERS).compile()
+    float(compiled(variables, batch))
 
     t0 = time.perf_counter()
-    float(bench_fn(variables, batch, n=ITERS))
+    float(compiled(variables, batch))
     dtN = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dtN  # conservative: includes one tunnel RTT
 
-    print(
-        json.dumps(
-            {
-                "metric": "image pairs/sec/chip (SP+LightGlue, 2048 kpts, 1024px, bf16)",
-                "value": round(pairs_per_sec, 2),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
-            }
-        )
-    )
+    V5E_BF16_PEAK_FLOPS = 197e12
+    result = {
+        "metric": "image pairs/sec/chip (SP+LightGlue, 2048 kpts, 1024px, bf16)",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
+    }
+    if flops:
+        result["mfu"] = round(flops / dtN / V5E_BF16_PEAK_FLOPS, 4)
+        result["gflops_per_pair"] = round(flops / (BATCH * ITERS) / 1e9, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -74,6 +74,10 @@ class SuperPoint(BaseModel):
         # conv blocks (vanilla variant only — "open" interleaves BN).
         "fused_detect": False,
         "fused_backbone": False,
+        # space-to-depth execution of block1 (conv1a+conv1b+pool at half
+        # resolution, ops/s2d_conv.py) — exact arithmetic, MXU-friendlier
+        # K dims (vanilla variant, even H/W only)
+        "s2d_block1": True,
     }
     required_data_keys = ["image"]
 
@@ -103,10 +107,29 @@ class SuperPoint(BaseModel):
             and (jax.default_backend() == "tpu" or pallas_conv.FORCE_INTERPRET)
             and not self.is_initializing()
         )
+        use_s2d_block1 = (
+            c.s2d_block1
+            and c.variant == "vanilla"
+            and not self.is_initializing()
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
         for i in range(n_blocks):
             has_pool = i < n_blocks - 1
             Hx, Wx = x.shape[1:3]
             ca, cb = int(c.channels[i]), int(c.channels[i])
+            if i == 0 and has_pool and use_s2d_block1:
+                from ...ops.s2d_conv import vgg_block1_s2d
+
+                p = self.variables["params"]
+                x = vgg_block1_s2d(
+                    x,
+                    p["conv1a"]["Conv_0"]["kernel"].astype(x.dtype),
+                    p["conv1a"]["Conv_0"]["bias"].astype(x.dtype),
+                    p["conv1b"]["Conv_0"]["kernel"].astype(x.dtype),
+                    p["conv1b"]["Conv_0"]["bias"].astype(x.dtype),
+                )
+                continue
             if (
                 fused_bb
                 and i > 0  # conv1a has C_in=1 (MXU-hostile in the kernel)

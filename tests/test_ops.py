@@ -309,3 +309,63 @@ def test_tiled_topk_exact_after_nms():
     np.testing.assert_allclose(
         np.sort(np.asarray(kp_a)[va].ravel()), np.sort(np.asarray(kp_b)[va].ravel()), atol=1e-5
     )
+
+
+def test_vgg_block1_s2d_exact():
+    """Space-to-depth block1 == conv/relu/conv/relu/pool reference chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gluefactory_tpu.ops.s2d_conv import vgg_block1_s2d
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 16, 24, 8
+    x = jnp.asarray(rng.normal(size=(B, H, W, 1)), jnp.float32)
+    wa = jnp.asarray(rng.normal(0, 0.5, (3, 3, 1, C)), jnp.float32)
+    ba = jnp.asarray(rng.normal(0, 0.5, (C,)), jnp.float32)
+    wb = jnp.asarray(rng.normal(0, 0.2, (3, 3, C, C)), jnp.float32)
+    bb = jnp.asarray(rng.normal(0, 0.5, (C,)), jnp.float32)
+
+    def plain(x):
+        y = jax.lax.conv_general_dilated(
+            x, wa, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + ba
+        y = jax.nn.relu(y)
+        y = jax.lax.conv_general_dilated(
+            y, wb, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bb
+        y = jax.nn.relu(y)
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+
+    ref = plain(x)
+    out = vgg_block1_s2d(x, wa, ba, wb, bb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_superpoint_s2d_block1_matches_plain():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gluefactory_tpu.models.extractors.superpoint import SuperPoint
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)), jnp.float32)
+    conf = {"max_num_keypoints": 32, "detection_threshold": 0.0,
+            "dense_outputs": True}
+    sp_plain = SuperPoint.from_conf({**conf, "s2d_block1": False})
+    variables = sp_plain.init({"params": jax.random.key(0)}, {"image": img})
+    out_plain = sp_plain.apply(variables, {"image": img})
+    sp_s2d = SuperPoint.from_conf({**conf, "s2d_block1": True})
+    out_s2d = sp_s2d.apply(variables, {"image": img})
+    np.testing.assert_allclose(
+        np.asarray(out_s2d["dense_score_map"]),
+        np.asarray(out_plain["dense_score_map"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s2d["keypoints"]), np.asarray(out_plain["keypoints"]), atol=1e-4
+    )
