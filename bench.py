@@ -107,18 +107,18 @@ def main():
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return carry
 
-    # compile (and grab the XLA flop count for the MFU figure; use an n=1
-    # lowering so lax.scan trip-count accounting cannot skew it — lowering
-    # is trace-only, no extra device compile)
+    # compile (and grab the XLA flop count for the MFU figure: XLA's HLO
+    # cost analysis counts a while/scan body ONCE — verified on this
+    # backend — so the compiled n=ITERS program reports per-iteration flops)
+    compiled = bench_fn.lower(variables, batch, n=ITERS).compile()
     flops = None
     try:
-        ca = bench_fn.lower(variables, batch, n=1).cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) * ITERS or None
+        flops = (float(ca.get("flops", 0.0)) * ITERS) or None
     except Exception:
         flops = None
-    compiled = bench_fn.lower(variables, batch, n=ITERS).compile()
     float(compiled(variables, batch))
 
     t0 = time.perf_counter()

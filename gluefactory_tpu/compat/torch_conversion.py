@@ -557,3 +557,7 @@ def convert_hardnet(sd: dict) -> tuple:
         "var": np.asarray(sd[f"{prefix}20.running_var"]),
     }
     return params, stats
+
+
+CONVERTERS["aliked"] = convert_aliked
+CONVERTERS["hardnet"] = convert_hardnet

@@ -76,8 +76,11 @@ class SuperPoint(BaseModel):
         "fused_backbone": False,
         # space-to-depth execution of block1 (conv1a+conv1b+pool at half
         # resolution, ops/s2d_conv.py) — exact arithmetic, MXU-friendlier
-        # K dims (vanilla variant, even H/W only)
-        "s2d_block1": True,
+        # K dims (vanilla variant, even H/W only). MEASURED SLOWER
+        # end-to-end on v5e (62.0 vs 70.0 pairs/s at bench shapes): the
+        # 16/9 MAC overhead + four C_out=64 phase convs lose more than the
+        # deeper K dims win. Kept as tested infrastructure, off by default.
+        "s2d_block1": False,
     }
     required_data_keys = ["image"]
 
