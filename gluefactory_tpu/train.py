@@ -117,28 +117,53 @@ def get_frozen_components(model) -> set:
     return frozen
 
 
+def _apply_one_schedule(sconf, conf, steps_per_epoch, step, epoch, lr):
+    """Multiplier of ONE schedule conf onto the running lr."""
+    stype = sconf.get("type")
+    if stype in (None, "none"):
+        return lr
+    if stype == "exp":
+        gam = 10.0 ** (-1.0 / max(sconf.get("exp_div_10", 0) or 1e-9, 1e-9))
+        e = jnp.maximum(epoch - sconf.get("start", 0), 0.0)
+        return lr * gam**e
+    if stype == "factor":
+        on = jnp.asarray(list(sconf.get("on_epoch") or []), jnp.float32)
+        if on.size:
+            n = (epoch[None] >= on).sum() if jnp.ndim(epoch) else (epoch >= on).sum()
+            return lr * sconf.get("factor", 1.0) ** n
+        return lr
+    if stype == "cosine":
+        total = conf.epochs * steps_per_epoch
+        return lr * 0.5 * (
+            1 + jnp.cos(jnp.pi * jnp.minimum(step / max(total, 1), 1.0))
+        )
+    # arbitrary schedule: a dotted path to fn(step, epoch, lr, conf) -> lr
+    # (role of the reference accepting any torch.optim.lr_scheduler class
+    # by name, train.py:144-174)
+    import pydoc
+
+    fn = pydoc.locate(str(stype))
+    if fn is None:
+        raise ValueError(f"unknown lr schedule type or path: {stype!r}")
+    return fn(step, epoch, lr, sconf)
+
+
 def build_lr_schedule(conf, steps_per_epoch: int):
     """Epoch-based schedules matching reference `get_lr_scheduler`
-    (`train.py:144-174`): exp decay of 10x per `exp_div_10` epochs starting at
-    `start`, or discrete `factor` multiplications at epochs in `on_epoch`."""
+    (`train.py:144-174`): exp decay of 10x per `exp_div_10` epochs starting
+    at `start`, discrete `factor` multiplications at epochs in `on_epoch`,
+    cosine, or any dotted-path callable. `lr_schedule` may also be a LIST of
+    schedule confs, composed multiplicatively (role of the reference's
+    ChainedScheduler support)."""
     sconf = conf.lr_schedule
+    chain = list(sconf) if isinstance(sconf, (list, tuple)) else [sconf]
     base = conf.lr
 
     def schedule(step):
         epoch = step / max(steps_per_epoch, 1)
         lr = jnp.asarray(base, jnp.float32)
-        if sconf.type == "exp":
-            gam = 10.0 ** (-1.0 / max(sconf.exp_div_10, 1e-9))
-            e = jnp.maximum(epoch - sconf.start, 0.0)
-            lr = lr * gam**e
-        elif sconf.type == "factor":
-            on = jnp.asarray(list(sconf.on_epoch or []), jnp.float32)
-            if on.size:
-                n = (epoch[None] >= on).sum() if jnp.ndim(epoch) else (epoch >= on).sum()
-                lr = lr * sconf.factor ** n
-        elif sconf.type == "cosine":
-            total = conf.epochs * steps_per_epoch
-            lr = lr * 0.5 * (1 + jnp.cos(jnp.pi * jnp.minimum(step / max(total, 1), 1.0)))
+        for sc in chain:
+            lr = _apply_one_schedule(sc, conf, steps_per_epoch, step, epoch, lr)
         return lr
 
     return schedule

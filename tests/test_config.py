@@ -77,3 +77,41 @@ def test_all_shipped_configs_parse_and_resolve():
         except ImportError:
             continue  # gated third-party wrapper
         assert cls is not None, f.name
+
+
+def test_lr_schedule_chained_and_custom():
+    """lr_schedule as a LIST composes multiplicatively; a dotted-path type
+    resolves to an arbitrary callable (reference train.py:144-174 accepts
+    any scheduler class + chained schedulers)."""
+    import numpy as np
+
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.train import build_lr_schedule, default_train_conf
+    from gluefactory_tpu.core.config import merge
+
+    conf = merge(
+        Config(default_train_conf),
+        {
+            "lr": 1e-3,
+            "epochs": 10,
+            "lr_schedule": [
+                {"type": "exp", "start": 0, "exp_div_10": 10},
+                {"type": "factor", "factor": 0.5, "on_epoch": [2]},
+            ],
+        },
+    )
+    sched = build_lr_schedule(conf, steps_per_epoch=10)
+    # epoch 5: exp decay 10^(-5/10) and one 0.5 factor from epoch 2
+    expected = 1e-3 * 10 ** (-0.5) * 0.5
+    np.testing.assert_allclose(float(sched(50)), expected, rtol=1e-5)
+
+    conf2 = merge(
+        Config(default_train_conf),
+        {"lr": 2.0, "lr_schedule": {"type": "tests.test_config._half_lr"}},
+    )
+    sched2 = build_lr_schedule(conf2, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched2(0)), 1.0)
+
+
+def _half_lr(step, epoch, lr, conf):
+    return lr * 0.5

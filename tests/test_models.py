@@ -196,3 +196,29 @@ def test_homography_matcher_in_pipeline_loss():
     assert losses["total"].shape == (2,)
     assert np.isfinite(np.asarray(losses["total"])).all()
     assert "match_recall" in metrics
+
+
+def test_imcui_pred_conversion():
+    """IMCUI aligned-match-list conversion (reference imcui.py:100-122):
+    top-k by confidence, identity matches, batch dim added."""
+    import numpy as np
+
+    from gluefactory_tpu.models.matchers.imcui import convert_imcui_pred
+
+    rng = np.random.default_rng(0)
+    n = 20
+    pred = {
+        "mkeypoints0_orig": rng.uniform(0, 100, (n, 2)),
+        "mkeypoints1_orig": rng.uniform(0, 100, (n, 2)),
+        "mconf": rng.uniform(0, 1, n),
+    }
+    out = convert_imcui_pred(pred)
+    assert out["keypoints0"].shape == (1, n, 2)
+    assert (out["matches0"][0] == np.arange(n)).all()
+    np.testing.assert_allclose(out["matching_scores0"][0], pred["mconf"], atol=1e-6)
+
+    out8 = convert_imcui_pred(pred, max_num_matches=8)
+    assert out8["keypoints0"].shape == (1, 8, 2)
+    kept = set(np.round(out8["matching_scores0"][0].astype(np.float32), 5))
+    top8 = set(np.round(np.sort(pred["mconf"].astype(np.float32))[-8:], 5))
+    assert kept == top8
