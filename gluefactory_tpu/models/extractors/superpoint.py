@@ -62,9 +62,12 @@ class SuperPoint(BaseModel):
         "descriptor_dim": 256,
         "nms_radius": 4,
         "max_num_keypoints": 1024,  # static K (TPU requires fixed shapes)
+        "max_num_keypoints_val": None,  # eval-time K override (ref :162)
         "force_num_keypoints": False,  # fill invalid slots with random kpts
+        "randomize_keypoints_training": False,  # sample K by score (ref :90-94)
         "detection_threshold": 0.005,
         "remove_borders": 4,
+        "refinement_radius": 0,  # soft-argmax sub-pixel (ref :97-113)
         "dense_outputs": False,
         "channels": [64, 64, 128, 128],
         "head_channels": 256,
@@ -177,10 +180,14 @@ class SuperPoint(BaseModel):
 
         # keypoint selection: NMS -> border removal -> static top-k + mask
         k = int(c.max_num_keypoints)
+        if not train and c.max_num_keypoints_val is not None:
+            k = int(c.max_num_keypoints_val)
+        randomize = train and c.randomize_keypoints_training
         true_size = data.get("image_size")
         Hs, Ws = scores.shape[1:3]
         use_fused = (
             c.fused_detect
+            and not randomize
             and c.nms_radius >= 3  # 4x4-tile top-k exactness needs r+1 >= 4
             and (jax.default_backend() == "tpu"
                  or pallas_detect.FORCE_INTERPRET)
@@ -207,9 +214,33 @@ class SuperPoint(BaseModel):
                 h_true = true_size[:, 1][:, None, None]
                 in_area = (xs < w_true - b_) & (ys < h_true - b_)
                 nmsed = jnp.where(in_area, nmsed, jnp.zeros_like(nmsed))
-            kpts, kpt_scores, valid = top_k_keypoints(
-                nmsed, k, c.detection_threshold, nms_radius=c.nms_radius
-            )
+            if randomize:
+                # score-weighted sampling without replacement via the Gumbel
+                # top-k trick (role of reference sample_k_keypoints,
+                # superpoint.py:90-94: multinomial ∝ score)
+                g = jax.random.gumbel(self.make_rng("sample"), nmsed.shape)
+                pert = jnp.where(
+                    nmsed > c.detection_threshold,
+                    jnp.log(jnp.maximum(nmsed, 1e-20)) + g,
+                    -jnp.inf,
+                )
+                top, idx = jax.lax.top_k(pert.reshape(B, -1), k)
+                kpt_scores = jnp.take_along_axis(
+                    nmsed.reshape(B, -1), idx, axis=-1
+                )
+                ys = (idx // Ws).astype(jnp.float32)
+                xs = (idx % Ws).astype(jnp.float32)
+                kpts = jnp.stack([xs, ys], axis=-1) + 0.5
+                valid = jnp.isfinite(top)
+            else:
+                kpts, kpt_scores, valid = top_k_keypoints(
+                    nmsed, k, c.detection_threshold, nms_radius=c.nms_radius
+                )
+
+        if c.refinement_radius > 0:
+            from ...ops.nms import soft_argmax_refinement
+
+            kpts = soft_argmax_refinement(kpts, scores, int(c.refinement_radius))
 
         if c.force_num_keypoints:
             rng = self.make_rng("sample")

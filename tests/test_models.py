@@ -222,3 +222,57 @@ def test_imcui_pred_conversion():
     kept = set(np.round(out8["matching_scores0"][0].astype(np.float32), 5))
     top8 = set(np.round(np.sort(pred["mconf"].astype(np.float32))[-8:], 5))
     assert kept == top8
+
+
+def test_superpoint_val_k_randomize_and_refinement():
+    """Reference-parity knobs: max_num_keypoints_val (superpoint.py:162),
+    randomize_keypoints_training (:90-94), refinement_radius (:97-113)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gluefactory_tpu.models.extractors.superpoint import SuperPoint
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)), jnp.float32)
+    sp = SuperPoint.from_conf(
+        {
+            "max_num_keypoints": 32,
+            "max_num_keypoints_val": 12,
+            "detection_threshold": 0.0,
+            "randomize_keypoints_training": True,
+        }
+    )
+    variables = sp.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, {"image": img}
+    )
+    # eval: K_val applies
+    out_eval = sp.apply(variables, {"image": img})
+    assert out_eval["keypoints"].shape == (1, 12, 2)
+
+    # train: randomized sampling, K_train applies, draws differ across rngs
+    out_a = sp.apply(
+        variables, {"image": img}, train=True, rngs={"sample": jax.random.key(2)},
+        method="_forward",
+    )
+    out_b = sp.apply(
+        variables, {"image": img}, train=True, rngs={"sample": jax.random.key(3)},
+        method="_forward",
+    )
+    assert out_a["keypoints"].shape == (1, 32, 2)
+    assert not np.allclose(np.asarray(out_a["keypoints"]), np.asarray(out_b["keypoints"]))
+    # sampled points are genuine positive-score detections
+    assert (np.asarray(out_a["keypoint_scores"])[np.asarray(out_a["keypoint_mask"])] > 0).all()
+
+    # refinement: keypoints move sub-pixel but stay within the radius
+    sp_ref = SuperPoint.from_conf(
+        {"max_num_keypoints": 16, "detection_threshold": 0.0, "refinement_radius": 2}
+    )
+    sp_base = SuperPoint.from_conf(
+        {"max_num_keypoints": 16, "detection_threshold": 0.0}
+    )
+    out_r = sp_ref.apply(variables, {"image": img})
+    out_0 = sp_base.apply(variables, {"image": img})
+    d = np.abs(np.asarray(out_r["keypoints"]) - np.asarray(out_0["keypoints"]))
+    assert d.max() <= 2.0 + 1e-5
+    assert d.max() > 0.0  # refinement actually moves something
