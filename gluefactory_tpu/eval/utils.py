@@ -34,16 +34,19 @@ def sym_homography_error_np(kpts0, kpts1, H) -> np.ndarray:
 
 
 def sym_epipolar_distance_np(p0, p1, E, squared=True) -> np.ndarray:
+    """Reference `epipolar.py:32-56` exactly: the non-squared form is the
+    MEAN of the two point-to-epipolar-line distances, not the sqrt of the
+    squared (Sampson-like) form."""
     p0h = np.concatenate([p0, np.ones_like(p0[..., :1])], -1)
     p1h = np.concatenate([p1, np.ones_like(p1[..., :1])], -1)
     Ep0 = p0h @ E.T
     Etp1 = p1h @ E
-    num = np.sum(p1h * Ep0, -1) ** 2
-    d = num * (
-        1.0 / (Ep0[..., 0] ** 2 + Ep0[..., 1] ** 2 + 1e-15)
-        + 1.0 / (Etp1[..., 0] ** 2 + Etp1[..., 1] ** 2 + 1e-15)
-    )
-    return d if squared else np.sqrt(np.abs(d) + 1e-15)
+    p1Ep0 = np.sum(p1h * Ep0, -1)
+    d0 = np.maximum(Ep0[..., 0] ** 2 + Ep0[..., 1] ** 2, 1e-6)
+    d1 = np.maximum(Etp1[..., 0] ** 2 + Etp1[..., 1] ** 2, 1e-6)
+    if squared:
+        return p1Ep0**2 * (1.0 / d0 + 1.0 / d1)
+    return np.abs(p1Ep0) * (1.0 / np.sqrt(d0) + 1.0 / np.sqrt(d1)) / 2.0
 
 
 def pose_to_E(T: Pose) -> np.ndarray:

@@ -35,11 +35,13 @@ def sym_epipolar_distance(p0, p1, E, squared: bool = True) -> jnp.ndarray:
     Ep0 = jnp.einsum("...ij,...nj->...ni", E, p0h)
     Etp1 = jnp.einsum("...ji,...nj->...ni", E, p1h)
     p1Ep0 = jnp.einsum("...ni,...ni->...n", p1h, Ep0)
-    denom = (
-        Ep0[..., 0] ** 2 + Ep0[..., 1] ** 2 + Etp1[..., 0] ** 2 + Etp1[..., 1] ** 2
-    )
-    d_sq = p1Ep0**2 * (1.0 / (denom + 1e-15))
-    return d_sq if squared else jnp.sqrt(d_sq + 1e-15)
+    # reference: SUM of the two per-line reciprocal norms (epipolar.py:50-56),
+    # not the reciprocal of the summed norms
+    d0 = jnp.maximum(Ep0[..., 0] ** 2 + Ep0[..., 1] ** 2, 1e-6)
+    d1 = jnp.maximum(Etp1[..., 0] ** 2 + Etp1[..., 1] ** 2, 1e-6)
+    if squared:
+        return p1Ep0**2 * (1.0 / d0 + 1.0 / d1)
+    return jnp.abs(p1Ep0) * (1.0 / jnp.sqrt(d0) + 1.0 / jnp.sqrt(d1)) / 2.0
 
 
 def sym_epipolar_distance_all(p0, p1, E, eps: float = 1e-15) -> jnp.ndarray:
@@ -49,10 +51,16 @@ def sym_epipolar_distance_all(p0, p1, E, eps: float = 1e-15) -> jnp.ndarray:
     p1h = to_homogeneous(p1)  # (..., N1, 3)
     Ep0 = jnp.einsum("...ij,...nj->...ni", E, p0h)  # (..., N0, 3)
     Etp1 = jnp.einsum("...ji,...nj->...ni", E, p1h)  # (..., N1, 3)
-    p1Ep0 = jnp.einsum("...mi,...ni->...nm", p1h, Ep0)  # (..., N0, N1)
-    d0 = Ep0[..., :, None, 0] ** 2 + Ep0[..., :, None, 1] ** 2  # (..., N0, 1)
-    d1 = Etp1[..., None, :, 0] ** 2 + Etp1[..., None, :, 1] ** 2  # (..., 1, N1)
-    return p1Ep0**2 * (1.0 / (d0 + eps) + 1.0 / (d1 + eps))
+    p1Ep0 = jnp.abs(
+        jnp.einsum("...mi,...ni->...nm", p1h, Ep0)
+    )  # (..., N0, N1)
+    # reference returns the NON-squared mean of the two line distances
+    # (epipolar.py:59-72)
+    d0 = jnp.sqrt(Ep0[..., :, None, 0] ** 2 + Ep0[..., :, None, 1] ** 2 + eps)
+    d1 = jnp.sqrt(
+        Etp1[..., None, :, 0] ** 2 + Etp1[..., None, :, 1] ** 2 + eps
+    )
+    return (p1Ep0 / d0 + p1Ep0 / d1) / 2.0
 
 
 def E_to_Rt_candidates(E: jnp.ndarray):
@@ -91,4 +99,5 @@ def relative_pose_error(T_0to1: Pose, R: jnp.ndarray, t: jnp.ndarray, ignore_gt_
     t_norm = jnp.linalg.norm(t_gt, axis=-1)
     t_err = jnp.where(t_norm < ignore_gt_t_thr, jnp.zeros_like(t_err), t_err)
     r_err = angle_error_mat(R, R_gt)
-    return r_err, t_err
+    # reference return order: (t_err, r_err) — epipolar.py:139-155
+    return t_err, r_err

@@ -24,24 +24,25 @@ UNMATCHED = -1
 
 
 def _assignment_from_dists(
-    dist: jnp.ndarray,
-    pos_th: float,
-    neg_th: float,
+    dist_sq: jnp.ndarray,
+    pos_th_sq: float,
+    negative0: jnp.ndarray,
+    negative1: jnp.ndarray,
     ignore0: jnp.ndarray | None = None,
     ignore1: jnp.ndarray | None = None,
 ):
-    """Mutual-nearest assignment with positive/negative bands.
-
-    dist: (B, M, N) distance matrix (inf where invalid).
-    Returns dict(assignment (B,M,N) bool, matches0 (B,M), matches1 (B,N)).
-    `ignoreX`: bool masks of rows/cols whose negatives are uncertain (forced to
-    IGNORE instead of UNMATCHED).
+    """Mutual-nearest assignment, reference semantics
+    (`gt_generation.py:55-74,145-156`): positives are mutual row/col minima
+    of the SQUARED symmetric distance matrix below pos_th_sq; labels are
+    positive -> argmin, `negativeX` -> UNMATCHED, everything else IGNORE.
+    `ignoreX` forces IGNORE (mask extension: padding slots are never
+    supervised).
     """
-    B, M, N = dist.shape
-    min0 = dist.min(axis=-1)
-    min1 = dist.min(axis=-2)
-    argmin0 = jnp.argmin(dist, axis=-1)  # (B, M)
-    argmin1 = jnp.argmin(dist, axis=-2)  # (B, N)
+    B, M, N = dist_sq.shape
+    min0 = dist_sq.min(axis=-1)
+    min1 = dist_sq.min(axis=-2)
+    argmin0 = jnp.argmin(dist_sq, axis=-1)  # (B, M)
+    argmin1 = jnp.argmin(dist_sq, axis=-2)  # (B, N)
     inv0 = jnp.take_along_axis(argmin1, argmin0, axis=-1)  # (B, M)
     inv1 = jnp.take_along_axis(argmin0, argmin1, axis=-1)  # (B, N)
     arange0 = jnp.arange(M)[None]
@@ -49,13 +50,13 @@ def _assignment_from_dists(
     mutual0 = inv0 == arange0
     mutual1 = inv1 == arange1
 
-    positive0 = mutual0 & (min0 < pos_th)
-    positive1 = mutual1 & (min1 < pos_th)
-    negative0 = min0 > neg_th
-    negative1 = min1 > neg_th
+    positive0 = mutual0 & (min0 < pos_th_sq)
+    positive1 = mutual1 & (min1 < pos_th_sq)
     if ignore0 is not None:
+        positive0 = positive0 & ~ignore0
         negative0 = negative0 & ~ignore0
     if ignore1 is not None:
+        positive1 = positive1 & ~ignore1
         negative1 = negative1 & ~ignore1
 
     matches0 = jnp.where(positive0, argmin0, jnp.where(negative0, UNMATCHED, IGNORE))
@@ -90,16 +91,22 @@ def gt_matches_from_homography(
     IGNORE, not UNMATCHED, so the loss never supervises them."""
     kp0_1 = warp_points(kp0, H)
     kp1_0 = warp_points(kp1, H, inverse=True)
-    # forward and backward reprojection distance, symmetric max
-    dist0 = jnp.linalg.norm(kp0_1[..., :, None, :] - kp1[..., None, :, :], axis=-1)
-    dist1 = jnp.linalg.norm(kp0[..., :, None, :] - kp1_0[..., None, :, :], axis=-1)
-    dist = jnp.maximum(dist0, dist1)
-    if mask0 is not None:
-        dist = jnp.where(mask0[..., :, None], dist, jnp.inf)
+    # forward and backward SQUARED reprojection distances; negatives come
+    # from the ONE-DIRECTIONAL matrices (reference gt_generation.py:124-141)
+    dist0 = jnp.sum((kp0_1[..., :, None, :] - kp1[..., None, :, :]) ** 2, axis=-1)
+    dist1 = jnp.sum((kp0[..., :, None, :] - kp1_0[..., None, :, :]) ** 2, axis=-1)
+    inf = jnp.asarray(jnp.inf, dist0.dtype)
+    if mask0 is not None:  # padding rows/cols never participate
+        dist0 = jnp.where(mask0[..., :, None], dist0, inf)
+        dist1 = jnp.where(mask0[..., :, None], dist1, inf)
     if mask1 is not None:
-        dist = jnp.where(mask1[..., None, :], dist, jnp.inf)
+        dist0 = jnp.where(mask1[..., None, :], dist0, inf)
+        dist1 = jnp.where(mask1[..., None, :], dist1, inf)
+    dist = jnp.maximum(dist0, dist1)
+    negative0 = dist0.min(axis=-1) > neg_th**2
+    negative1 = dist1.min(axis=-2) > neg_th**2
     return _assignment_from_dists(
-        dist, pos_th, neg_th,
+        dist, pos_th**2, negative0, negative1,
         ignore0=None if mask0 is None else ~mask0,
         ignore1=None if mask1 is None else ~mask1,
     )
@@ -140,38 +147,55 @@ def gt_matches_from_pose_depth(
     kp0_1, vis0 = project(kp0, d0, depth1, camera0, camera1, T_0to1, valid0, ccth=ccth)
     kp1_0, vis1 = project(kp1, d1, depth0, camera1, camera0, T_0to1.inv(), valid1, ccth=ccth)
 
-    dist0 = jnp.linalg.norm(kp0_1[..., :, None, :] - kp1[..., None, :, :], axis=-1)
-    dist1 = jnp.linalg.norm(kp0[..., :, None, :] - kp1_0[..., None, :, :], axis=-1)
+    # SQUARED distances; the symmetric matrix is masked by pairwise
+    # visibility, the one-directional matrices stay raw for negatives
+    # (reference gt_generation.py:48-65)
+    dist0 = jnp.sum((kp0_1[..., :, None, :] - kp1[..., None, :, :]) ** 2, axis=-1)
+    dist1 = jnp.sum((kp0[..., :, None, :] - kp1_0[..., None, :, :]) ** 2, axis=-1)
     inf = jnp.asarray(jnp.inf, dist0.dtype)
-    dist0 = jnp.where(vis0[..., :, None], dist0, inf)
-    dist1 = jnp.where(vis1[..., None, :], dist1, inf)
-    dist = jnp.maximum(dist0, dist1)
+    if mask0 is not None:  # padding slots never participate at all
+        dist0 = jnp.where(mask0[..., :, None], dist0, inf)
+        dist1 = jnp.where(mask0[..., :, None], dist1, inf)
+    if mask1 is not None:
+        dist0 = jnp.where(mask1[..., None, :], dist0, inf)
+        dist1 = jnp.where(mask1[..., None, :], dist1, inf)
+    mask_visible = vis0[..., :, None] & vis1[..., None, :]
+    dist = jnp.where(mask_visible, jnp.maximum(dist0, dist1), inf)
 
-    # Epipolar fallback for invalid-depth points: normalized-coordinate
-    # symmetric epipolar distance vs threshold scaled to pixels via focal.
+    negative0 = (dist0.min(axis=-1) > neg_th**2) & valid0
+    negative1 = (dist1.min(axis=-2) > neg_th**2) & valid1
+    out = _assignment_from_dists(
+        dist, pos_th**2, negative0, negative1,
+        ignore0=None if mask0 is None else ~mask0,
+        ignore1=None if mask1 is None else ~mask1,
+    )
+
+    # Epipolar rescue (reference :76-92): invalid-depth points that are far
+    # (> neg_th px) from every still-uncertain point's epipolar line become
+    # confident negatives. F applies in pixel space; the distance is the
+    # NON-squared mean line distance.
     if epi_th is not None:
-        E = T_to_E(T_0to1)
-        p0n = camera0.normalize(kp0)
-        p1n = camera1.normalize(kp1)
-        epi_dist = jnp.sqrt(jnp.abs(sym_epipolar_distance_all(p0n, p1n, E)) + 1e-15)
-        f_mean = 0.5 * (
-            camera0.f.mean(axis=-1)[..., None, None] + camera1.f.mean(axis=-1)[..., None, None]
+        K0 = camera0.calibration_matrix()
+        K1 = camera1.calibration_matrix()
+        F = (
+            jnp.swapaxes(jnp.linalg.inv(K1), -1, -2)
+            @ T_to_E(T_0to1)
+            @ jnp.linalg.inv(K0)
         )
-        epi_px = epi_dist * f_mean
-        # a pair is epipolar-negative if far from the epipolar line
-        epi_min0 = epi_px.min(axis=-1)
-        epi_min1 = epi_px.min(axis=-2)
-        unsure0 = ~vis0 & (epi_min0 <= epi_th)
-        unsure1 = ~vis1 & (epi_min1 <= epi_th)
-        if mask0 is not None:
-            unsure0 = unsure0 | ~mask0
+        epi_dist = sym_epipolar_distance_all(kp0, kp1, F)
+        m0, m1 = out["matches0"], out["matches1"]
+        mask_ignore = (m0[..., :, None] == IGNORE) & (m1[..., None, :] == IGNORE)
+        epi_dist = jnp.where(mask_ignore, epi_dist, inf)
+        exclude0 = epi_dist.min(axis=-1) > neg_th
+        exclude1 = epi_dist.min(axis=-2) > neg_th
+        new0 = ~valid0 & exclude0
+        new1 = ~valid1 & exclude1
+        if mask0 is not None:  # padding slots stay IGNORE
+            new0 = new0 & mask0
         if mask1 is not None:
-            unsure1 = unsure1 | ~mask1
-        # invalid-depth rows with small epipolar distance: uncertain -> ignore
-        out = _assignment_from_dists(dist, pos_th, neg_th, ignore0=unsure0, ignore1=unsure1)
-    else:
-        # invalid-depth rows are always uncertain
-        out = _assignment_from_dists(dist, pos_th, neg_th, ignore0=~vis0, ignore1=~vis1)
+            new1 = new1 & mask1
+        out["matches0"] = jnp.where(new0, UNMATCHED, m0).astype(jnp.int32)
+        out["matches1"] = jnp.where(new1, UNMATCHED, m1).astype(jnp.int32)
 
     out["visible0"] = vis0
     out["visible1"] = vis1

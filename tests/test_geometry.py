@@ -155,9 +155,9 @@ def test_epipolar_distance_zero_on_gt():
 
 def test_relative_pose_error():
     T = Pose.from_aa(jnp.asarray([0.0, 0.0, 0.1]), jnp.asarray([1.0, 0.0, 0.0]))
-    r_err, t_err = relative_pose_error(T, T.R, T.t)
+    t_err, r_err = relative_pose_error(T, T.R, T.t)
     assert float(r_err) < 1e-3 and float(t_err) < 1e-3
-    r_err2, _ = relative_pose_error(T, jnp.eye(3), T.t)
+    _, r_err2 = relative_pose_error(T, jnp.eye(3), T.t)
     np.testing.assert_allclose(float(r_err2), np.rad2deg(0.1), atol=1e-3)
 
 

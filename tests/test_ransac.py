@@ -92,7 +92,7 @@ def test_ransac_essential_recovers():
         jax.random.key(0), n_iters=2048,
     )
     assert bool(out["success"])
-    r_err, t_err = relative_pose_error(T_gt, out["R"], out["t"])
+    t_err, r_err = relative_pose_error(T_gt, out["R"], out["t"])
     assert float(r_err) < 2.0, float(r_err)
     assert float(t_err) < 5.0, float(t_err)
 
@@ -102,7 +102,7 @@ def test_xla_relative_pose_estimator():
     est = load_estimator("relative_pose", "xla_ransac")({"ransac_th": 1.5})
     out = est({"m_kpts0": kpts0, "m_kpts1": kpts1, "camera0": cam, "camera1": cam})
     assert out["success"]
-    r_err, t_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
+    t_err, r_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
     assert float(r_err) < 2.0
     assert float(t_err) < 5.0
 
@@ -112,7 +112,7 @@ def test_opencv_relative_pose_estimator():
     est = load_estimator("relative_pose", "opencv")({"ransac_th": 1.5})
     out = est({"m_kpts0": kpts0, "m_kpts1": kpts1, "camera0": cam, "camera1": cam})
     assert out["success"]
-    r_err, t_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
+    t_err, r_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
     assert float(r_err) < 2.0
     assert float(t_err) < 5.0
 
@@ -137,7 +137,7 @@ def test_native_relative_pose_estimator():
     est = load_estimator("relative_pose", "poselib")({"ransac_th": 1.5})
     out = est({"m_kpts0": kpts0, "m_kpts1": kpts1, "camera0": cam, "camera1": cam})
     assert out["success"]
-    r_err, t_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
+    t_err, r_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
     assert float(r_err) < 2.0, float(r_err)
     assert float(t_err) < 5.0, float(t_err)
 
@@ -149,7 +149,7 @@ def test_native_two_view_estimator_general_scene():
     est = load_estimator("relative_pose", "two_view_native")({"ransac_th": 1.5})
     out = est({"m_kpts0": kpts0, "m_kpts1": kpts1, "camera0": cam, "camera1": cam})
     assert out["success"]
-    r_err, t_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
+    t_err, r_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
     assert float(r_err) < 2.0
     assert float(t_err) < 5.0
 
@@ -180,6 +180,6 @@ def test_native_two_view_estimator_planar_scene():
     est = load_estimator("relative_pose", "two_view_native")({"ransac_th": 2.0})
     out = est({"m_kpts0": p0, "m_kpts1": p1, "camera0": cam, "camera1": cam})
     assert out["success"]
-    r_err, t_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
+    t_err, r_err = relative_pose_error(T_gt, out["M_0to1"].R, out["M_0to1"].t)
     assert float(r_err) < 3.0, float(r_err)
     assert float(t_err) < 10.0, float(t_err)

@@ -269,6 +269,25 @@ def load_reference():
                 sys.modules["torchvision.ops"] = ops
                 sys.modules["torchvision.models"] = models
                 sys.modules["torchvision.models.resnet"] = resnet
+        if "kornia" not in sys.modules:
+            try:
+                import kornia  # noqa: F401
+            except ImportError:
+                # geometry/depth.py imports kornia only for depth_to_normals
+                # (unused by the code paths under test)
+                k = types.ModuleType("kornia")
+                kg = types.ModuleType("kornia.geometry")
+                kd = types.ModuleType("kornia.geometry.depth")
+
+                def _unavailable(*a, **kw):
+                    raise NotImplementedError("kornia is not installed")
+
+                kd.depth_to_normals = _unavailable
+                kg.depth = kd
+                k.geometry = kg
+                sys.modules["kornia"] = k
+                sys.modules["kornia.geometry"] = kg
+                sys.modules["kornia.geometry.depth"] = kd
         if str(REFERENCE) not in sys.path:
             sys.path.insert(0, str(REFERENCE))
         # Zero-egress environment: neutralize the reference's pretrained-weight
