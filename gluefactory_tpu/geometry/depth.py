@@ -15,9 +15,11 @@ from .wrappers import Camera, Pose
 def sample_depth_bilinear(pts: jnp.ndarray, depth: jnp.ndarray):
     """Sample a (B, H, W) depth map at (B, N, 2) pixel points.
 
-    NaN/zero-aware bilinear interpolation: invalid neighbors are excluded and
-    the weights renormalized; a point is valid if >= 1 valid neighbor
-    (behavioral spec from reference `depth.py:8-25`).
+    Reference-exact semantics (`depth.py:8-25`): invalid pixels (depth <= 0
+    or non-finite) poison the bilinear interpolation (grid_sample over a
+    NaN-masked map); where poisoned, fall back to the NEAREST neighbor
+    sample. Out-of-image support pixels contribute 0 (grid_sample zero
+    padding), not NaN. A point is valid if its final value is finite and > 0.
     Returns (depth (B, N), valid (B, N)).
     """
     B, H, W = depth.shape
@@ -32,26 +34,38 @@ def sample_depth_bilinear(pts: jnp.ndarray, depth: jnp.ndarray):
     y0 = y0.astype(jnp.int32)
 
     def gather(yy, xx):
+        # value: 0 outside the image (zero padding); inside: the pixel value
+        # with poisoned=True where it is invalid (<= 0 or non-finite).
         inb = (xx >= 0) & (xx < W) & (yy >= 0) & (yy < H)
         xx_c = jnp.clip(xx, 0, W - 1)
         yy_c = jnp.clip(yy, 0, H - 1)
-        d = jnp.take_along_axis(
-            depth.reshape(B, H * W), yy_c * W + xx_c, axis=-1
-        )
-        valid = inb & jnp.isfinite(d) & (d > 0)
-        return jnp.where(valid, d, 0.0), valid
+        d = jnp.take_along_axis(depth.reshape(B, H * W), yy_c * W + xx_c, axis=-1)
+        poisoned = inb & ~(jnp.isfinite(d) & (d > 0))
+        return jnp.where(inb, jnp.where(poisoned, 0.0, d), 0.0), poisoned
 
-    d00, v00 = gather(y0, x0)
-    d01, v01 = gather(y0, x0 + 1)
-    d10, v10 = gather(y0 + 1, x0)
-    d11, v11 = gather(y0 + 1, x0 + 1)
-    w00 = (1 - wx) * (1 - wy) * v00
-    w01 = wx * (1 - wy) * v01
-    w10 = (1 - wx) * wy * v10
-    w11 = wx * wy * v11
-    wsum = w00 + w01 + w10 + w11
-    valid = wsum > 1e-5
-    d = (d00 * w00 + d01 * w01 + d10 * w10 + d11 * w11) / jnp.where(valid, wsum, 1.0)
+    d00, p00 = gather(y0, x0)
+    d01, p01 = gather(y0, x0 + 1)
+    d10, p10 = gather(y0 + 1, x0)
+    d11, p11 = gather(y0 + 1, x0 + 1)
+    bilin = (
+        d00 * (1 - wx) * (1 - wy)
+        + d01 * wx * (1 - wy)
+        + d10 * (1 - wx) * wy
+        + d11 * wx * wy
+    )
+    # a neighbor with zero bilinear weight does not poison the result
+    # (NaN * 0 = NaN in grid_sample, but weights are never exactly 0 for
+    # generic points; treat weight==0 as non-contributing like the corner
+    # cases of grid_sample's exact-integer coordinates)
+    poisoned = (
+        (p00 & ((1 - wx) * (1 - wy) > 0))
+        | (p01 & (wx * (1 - wy) > 0))
+        | (p10 & ((1 - wx) * wy > 0))
+        | (p11 & (wx * wy > 0))
+    )
+    d_near, v_near = sample_depth_nearest(pts, depth)
+    d = jnp.where(poisoned, d_near, bilin)
+    valid = jnp.where(poisoned, v_near, bilin > 0)
     return jnp.where(valid, d, 0.0), valid
 
 
@@ -86,7 +100,10 @@ def project(
     """Project keypoints of view i (with sampled depths di) into view j.
 
     Returns (kpi_j pixel coords (B, N, 2), validity (B, N)). With `ccth`
-    a cycle-consistency check via depthj is applied (reference `depth.py:37-68`).
+    the reference's cycle-consistency check applies (`depth.py:37-68`):
+    sample depth at the projected point, backproject it, transform it back
+    to view i, re-project, and require the squared pixel round-trip error
+    to be below ccth.
     """
     kpi_3d_i = camera_i.image2cam(kpi) * di[..., None]
     kpi_3d_j = T_itoj.transform(kpi_3d_i)
@@ -94,11 +111,11 @@ def project(
     validj = valid & visible
     if ccth is None:
         return kpi_j, validj
-    # cycle consistency: sample depth at projected location, backproject,
-    # compare against the transformed 3D point's depth.
     dj, valid_dj = sample_depth(kpi_j, depthj)
-    consistent = jnp.abs(kpi_3d_j[..., -1] - dj) < ccth * dj
-    return kpi_j, validj & valid_dj & consistent
+    kpi_j_3d_j = camera_j.image2cam(kpi_j) * dj[..., None]
+    kpi_j_i, valid_cycle = camera_i.cam2image(T_itoj.inv().transform(kpi_j_3d_j))
+    consistent = ((kpi - kpi_j_i) ** 2).sum(-1) < ccth
+    return kpi_j, validj & valid_dj & valid_cycle & consistent
 
 
 def dense_warp_consistency(

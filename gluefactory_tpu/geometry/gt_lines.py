@@ -186,75 +186,140 @@ def point_line_distances(points: jnp.ndarray, lines: jnp.ndarray):
     return dist, in_seg
 
 
-def _overlap_matrix(
-    lines0_w: jnp.ndarray,  # samples of lines0 warped into view1: (B, L0, S, 2)
-    valid_w: jnp.ndarray,  # (B, L0, S)
-    lines1: jnp.ndarray,  # (B, L1, 2, 2)
+def _close_counts(
+    segs: jnp.ndarray,  # (B, Ls, 2, 2) candidate segments (their own view)
+    pts_w: jnp.ndarray,  # (B, Lp, S, 2) other view's line samples warped here
+    valid_w: jnp.ndarray,  # (B, Lp, S) validity/visibility of each sample
     perp_dist_th: float,
 ):
-    dist, in_seg = point_line_distances(lines0_w, lines1)
+    """counts[b, ls, lp] = number of valid warped samples of line lp within
+    perp_dist_th of segment ls AND whose perpendicular foot lies inside the
+    segment (reference `torch_perp_dist` + close_points sum,
+    gt_generation.py:173-205,308-322)."""
+    dist, in_seg = point_line_distances(pts_w, segs)  # (B, Lp, S, Ls)
     close = (dist < perp_dist_th) & in_seg & valid_w[..., None]
-    return close.mean(axis=2)  # (B, L0, L1) fraction of samples overlapping
+    return jnp.swapaxes(close.sum(axis=2), 1, 2)  # (B, Ls, Lp)
 
 
-def _line_gt_from_overlaps(
-    overlap0, overlap1, lmask0, lmask1, overlap_th: float, min_visibility_th: float,
-    visibility0, visibility1,
+def _clamp_lines(lines: jnp.ndarray, shape) -> jnp.ndarray:
+    """Clamp segment endpoints to [0, w-1] x [0, h-1] (reference
+    gt_generation.py:252-260,466-473)."""
+    h, w = shape
+    hi = jnp.asarray([w - 1.0, h - 1.0], lines.dtype)
+    return jnp.clip(lines, 0.0, hi)
+
+
+def _out_of_fraction(pts_w: jnp.ndarray, shape, min_visibility_th: float):
+    """(B, L, S, 2) warped samples -> (B, L) bool: True when the fraction of
+    samples outside [0, w) x [0, h) reaches 1 - min_visibility_th
+    (reference gt_generation.py:291-303)."""
+    h, w = shape
+    wh = jnp.asarray([w, h], pts_w.dtype)
+    out = (pts_w < 0).any(-1) | (pts_w >= wh).any(-1)
+    return out.mean(axis=-1) >= (1.0 - min_visibility_th)
+
+
+def _line_gt_labels(
+    c10, c01, mask_close, unmatched0, unmatched1, ignore0, ignore1, npts: int
 ):
-    """Symmetrize overlaps, solve the assignment, label UNMATCHED/IGNORE.
-
-    Uses the batched auction solver (eps-optimal, matching the reference's
-    Hungarian within ties — measured in tests/test_gt_lines_lap.py; the
-    greedy solver above disagrees with Hungarian on ~7% of rows on
-    realistic overlap matrices)."""
-    overlaps = jnp.minimum(overlap0, jnp.swapaxes(overlap1, 1, 2))
-    neg_inf = -jnp.inf
-    masked = jnp.where(lmask0[:, :, None] & lmask1[:, None, :], overlaps, neg_inf)
-    m0, m1 = auction_assignment(masked, overlap_th)
-    B, L0, L1 = overlaps.shape
-    # low-visibility lines (few valid warped samples) are uncertain -> IGNORE
-    ignore0 = (visibility0 < min_visibility_th) & (m0 == UNMATCHED)
-    ignore1 = (visibility1 < min_visibility_th) & (m1 == UNMATCHED)
-    m0 = jnp.where(ignore0, IGNORE, m0)
-    m1 = jnp.where(ignore1, IGNORE, m1)
-    m0 = jnp.where(lmask0, m0, IGNORE)
-    m1 = jnp.where(lmask1, m1, IGNORE)
-    assignment = (
-        (m0[:, :, None] == jnp.arange(L1)[None, None, :]) & (m0[:, :, None] >= 0)
+    """Shared reference labeling (gt_generation.py:354-407,505-556):
+    Hungarian on -count-product over the full matrix (here: batched auction
+    maximizing the normalized product — eps-optimal, agreement vs scipy
+    measured in tests/test_gt_lines_lap.py), then positives filtered by
+    mask_close and the unmatched/ignore row/col labels."""
+    B, L0, L1 = c10.shape
+    score = (c10 * c01).astype(jnp.float32) / float(npts * npts)
+    forbid = (unmatched0 | ignore0)[:, :, None] | (unmatched1 | ignore1)[:, None, :]
+    masked = jnp.where(forbid, -jnp.inf, score)
+    m0a, m1a = auction_assignment(masked, min_score=-jnp.inf, eps=1e-3)
+    assigned0 = m0a >= 0
+    positive = (
+        (m0a[:, :, None] == jnp.arange(L1)[None, None, :])
+        & assigned0[:, :, None]
+        & mask_close
+        & ~(unmatched0 | ignore0)[:, :, None]
+        & ~(unmatched1 | ignore1)[:, None, :]
     )
-    return {"matches0": m0, "matches1": m1, "assignment": assignment}
+    pos0 = positive.any(-1)
+    pos1 = positive.any(-2)
+    m0 = jnp.where(pos0, m0a, UNMATCHED)
+    m0 = jnp.where(unmatched0, UNMATCHED, m0)
+    m0 = jnp.where(ignore0, IGNORE, m0).astype(jnp.int32)
+    m1 = jnp.where(pos1, m1a, UNMATCHED)
+    m1 = jnp.where(unmatched1, UNMATCHED, m1)
+    m1 = jnp.where(ignore1, IGNORE, m1).astype(jnp.int32)
+    return {"matches0": m0, "matches1": m1, "assignment": positive}
 
 
 def gt_line_matches_from_homography(
-    lines0, lines1, lmask0, lmask1, H,
+    lines0, lines1, lmask0, lmask1, shape0, shape1, H,
     n_samples: int = 50, perp_dist_th: float = 5.0, overlap_th: float = 0.2,
     min_visibility_th: float = 0.5,
 ):
-    """lines (B, L, 2, 2), masks (B, L), H (B, 3, 3)."""
+    """Reference `gt_line_matches_from_homography` (gt_generation.py:410-558)
+    exactly: endpoints clamped to the image, samples warped both ways,
+    close-sample counts with strict `> npts * overlap_th` thresholds both
+    ways, mostly-out-of-image lines UNMATCHED, assignment maximizing the
+    count product, invalid (masked) lines IGNORE.
+
+    lines (B, L, 2, 2) xy, masks (B, L) (reference `valid_lines`),
+    shape0/shape1 static (h, w), H (B, 3, 3).
+    """
     B, L0 = lines0.shape[:2]
+    lines0 = _clamp_lines(lines0, shape0)
+    lines1 = _clamp_lines(lines1, shape1)
     s0 = sample_points_on_lines(lines0, n_samples)  # (B, L0, S, 2)
     s1 = sample_points_on_lines(lines1, n_samples)
     s0_w = warp_points(s0.reshape(B, -1, 2), H).reshape(s0.shape)
     s1_w = warp_points(s1.reshape(B, -1, 2), H, inverse=True).reshape(s1.shape)
-    valid0 = jnp.ones(s0.shape[:3], bool)
-    valid1 = jnp.ones(s1.shape[:3], bool)
-    ov0 = _overlap_matrix(s0_w, valid0, lines1, perp_dist_th)  # (B, L0, L1)
-    ov1 = _overlap_matrix(s1_w, valid1, lines0, perp_dist_th)  # (B, L1, L0)
-    vis0 = valid0.mean(-1)
-    vis1 = valid1.mean(-1)
-    return _line_gt_from_overlaps(
-        ov0, ov1, lmask0, lmask1, overlap_th, min_visibility_th, vis0, vis1
+    out_of0 = _out_of_fraction(s1_w, shape0, min_visibility_th)  # (B, L1)
+    out_of1 = _out_of_fraction(s0_w, shape1, min_visibility_th)  # (B, L0)
+    ones0 = jnp.ones(s0.shape[:3], bool)
+    ones1 = jnp.ones(s1.shape[:3], bool)
+    c10 = _close_counts(lines0, s1_w, ones1, perp_dist_th)  # (B, L0, L1)
+    c01 = jnp.swapaxes(
+        _close_counts(lines1, s0_w, ones0, perp_dist_th), 1, 2
+    )  # (B, L0, L1)
+    th = n_samples * overlap_th
+    mask_close = (
+        (c01 > th)
+        & (c10 > th)
+        & ~out_of0[:, None, :]
+        & ~out_of1[:, :, None]
+    )
+    unmatched0 = jnp.all(~mask_close, axis=2) | out_of1
+    unmatched1 = jnp.all(~mask_close, axis=1) | out_of0
+    ignore0 = ~lmask0
+    ignore1 = ~lmask1
+    return _line_gt_labels(
+        c10, c01, mask_close, unmatched0, unmatched1, ignore0, ignore1, n_samples
     )
 
 
 def gt_line_matches_from_pose_depth(
     lines0, lines1, lmask0, lmask1,
     camera0: Camera, camera1: Camera, T_0to1: Pose, depth0, depth1,
+    shape0=None, shape1=None,
     n_samples: int = 50, perp_dist_th: float = 5.0, overlap_th: float = 0.2,
     min_visibility_th: float = 0.5,
 ):
+    """Reference `gt_line_matches_from_pose_depth` (gt_generation.py:208-407)
+    exactly: depth-sampled line points projected both ways, close counts
+    weighted by projection visibility, strict `> n_visible * overlap_th`
+    thresholds, low-valid-depth lines IGNORE, mostly-out-of-image lines
+    UNMATCHED, count-product assignment.
+
+    shape0/shape1 default to the depth map shapes (the reference clamps to
+    the depth shape and bounds-checks against the image shape — identical in
+    every dataset here)."""
     B, L0 = lines0.shape[:2]
     L1 = lines1.shape[1]
+    if shape0 is None:
+        shape0 = depth0.shape[-2:]
+    if shape1 is None:
+        shape1 = depth1.shape[-2:]
+    lines0 = _clamp_lines(lines0, shape0)
+    lines1 = _clamp_lines(lines1, shape1)
     s0 = sample_points_on_lines(lines0, n_samples).reshape(B, L0 * n_samples, 2)
     s1 = sample_points_on_lines(lines1, n_samples).reshape(B, L1 * n_samples, 2)
     d0, v0 = sample_depth(s0, depth0)
@@ -265,10 +330,24 @@ def gt_line_matches_from_pose_depth(
     s1_w = s1_w.reshape(B, L1, n_samples, 2)
     vw0 = vw0.reshape(B, L0, n_samples)
     vw1 = vw1.reshape(B, L1, n_samples)
-    ov0 = _overlap_matrix(s0_w, vw0, lines1, perp_dist_th)
-    ov1 = _overlap_matrix(s1_w, vw1, lines0, perp_dist_th)
-    vis0 = vw0.mean(-1)
-    vis1 = vw1.mean(-1)
-    return _line_gt_from_overlaps(
-        ov0, ov1, lmask0, lmask1, overlap_th, min_visibility_th, vis0, vis1
+    out_of0 = _out_of_fraction(s1_w, shape0, min_visibility_th)  # (B, L1)
+    out_of1 = _out_of_fraction(s0_w, shape1, min_visibility_th)  # (B, L0)
+    c10 = _close_counts(lines0, s1_w, vw1, perp_dist_th)  # (B, L0, L1)
+    c01 = jnp.swapaxes(
+        _close_counts(lines1, s0_w, vw0, perp_dist_th), 1, 2
+    )  # (B, L0, L1)
+    nvis0 = vw0.sum(-1).astype(jnp.float32)  # (B, L0)
+    nvis1 = vw1.sum(-1).astype(jnp.float32)  # (B, L1)
+    mask_close = (c01 > nvis0[:, :, None] * overlap_th) & (
+        c10 > nvis1[:, None, :] * overlap_th
+    )
+    unmatched0 = jnp.all(~mask_close, axis=2) | out_of1
+    unmatched1 = jnp.all(~mask_close, axis=1) | out_of0
+    # lines with too few valid-depth samples are uncertain -> IGNORE
+    frac_valid0 = v0.reshape(B, L0, n_samples).mean(-1)
+    frac_valid1 = v1.reshape(B, L1, n_samples).mean(-1)
+    ignore0 = (frac_valid0 < min_visibility_th) | ~lmask0
+    ignore1 = (frac_valid1 < min_visibility_th) | ~lmask1
+    return _line_gt_labels(
+        c10, c01, mask_close, unmatched0, unmatched1, ignore0, ignore1, n_samples
     )

@@ -44,11 +44,17 @@ class HomographyMatcher(BaseModel):
         if self.conf.use_lines:
             from ...geometry.gt_lines import gt_line_matches_from_homography
 
+            # images are NHWC; the reference passes NCHW image shapes
+            # (homography_matcher.py:52-53) — both reduce to (h, w)
+            shape0 = tuple(data["view0"]["image"].shape[1:3])
+            shape1 = tuple(data["view1"]["image"].shape[1:3])
             lout = gt_line_matches_from_homography(
                 data["lines0"],
                 data["lines1"],
                 data["line_mask0"],
                 data["line_mask1"],
+                shape0,
+                shape1,
                 data["H_0to1"],
                 n_samples=self.conf.n_line_sampled_pts,
                 perp_dist_th=self.conf.line_perp_dist_th,

@@ -80,7 +80,9 @@ def test_gt_line_matches_identity():
     lines1 = lines0[:, perm]
     H = jnp.eye(3)[None]
     mask = jnp.ones((1, L), bool)
-    out = gt_line_matches_from_homography(lines0, lines1, mask, mask, H)
+    out = gt_line_matches_from_homography(
+        lines0, lines1, mask, mask, (256, 256), (256, 256), H
+    )
     m0 = np.asarray(out["matches0"])[0]
     # each line matches its permuted twin
     expected = np.argsort(perm)

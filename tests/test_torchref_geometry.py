@@ -270,3 +270,96 @@ def test_gt_matches_from_pose_depth_parity():
     # fp32 projection jitter can flip labels exactly at the px thresholds
     assert agree0 > 0.99 and agree1 > 0.99, (agree0, agree1)
     assert (np.asarray(mine["assignment"]) == ref["assignment"].numpy()).mean() > 0.999
+
+
+def _make_line_set(rng, B, L, w, h):
+    p0 = rng.uniform(8, [w - 8, h - 8], (B, L, 2)).astype(np.float32)
+    d = rng.uniform(-25, 25, (B, L, 2)).astype(np.float32)
+    return np.stack([p0, np.clip(p0 + d, 0, [w - 1, h - 1])], axis=2).astype(
+        np.float32
+    )
+
+
+def test_gt_line_matches_from_homography_parity():
+    rng = np.random.default_rng(8)
+    B, L0, L1, w, h = 2, 12, 14, 128, 96
+    lines0 = _make_line_set(rng, B, L0, w, h)
+    H = rand_H(rng, B)
+    # half of lines1 are warped copies of lines0, the rest random
+    w0 = ref_hom.warp_points_torch(
+        torch.from_numpy(lines0.reshape(B, -1, 2)), torch.from_numpy(H)
+    ).numpy().reshape(B, L0, 2, 2)
+    lines1 = _make_line_set(rng, B, L1, w, h)
+    lines1[:, :7] = w0[:, :7] + rng.normal(0, 0.5, (B, 7, 2, 2))
+    valid0 = rng.uniform(size=(B, L0)) > 0.15
+    valid1 = rng.uniform(size=(B, L1)) > 0.15
+    npts, dist_th, ov_th, vis_th = 16, 5.0, 0.2, 0.5
+
+    pos_r, m0_r, m1_r = ref_gt.gt_line_matches_from_homography(
+        torch.from_numpy(lines0), torch.from_numpy(lines1),
+        torch.from_numpy(valid0), torch.from_numpy(valid1),
+        (1, h, w), (1, h, w), torch.from_numpy(H),
+        npts, dist_th, ov_th, vis_th,
+    )
+    import gluefactory_tpu.geometry.gt_lines as my_gtl
+    mine = my_gtl.gt_line_matches_from_homography(
+        jnp.asarray(lines0), jnp.asarray(lines1),
+        jnp.asarray(valid0), jnp.asarray(valid1), (h, w), (h, w),
+        jnp.asarray(H), n_samples=npts, perp_dist_th=dist_th,
+        overlap_th=ov_th, min_visibility_th=vis_th,
+    )
+    agree0 = (np.asarray(mine["matches0"]) == m0_r.numpy()).mean()
+    agree1 = (np.asarray(mine["matches1"]) == m1_r.numpy()).mean()
+    # fp32 jitter can flip individual close-sample counts at thresholds;
+    # assignment ties resolve differently between Hungarian and auction
+    assert agree0 >= 0.9 and agree1 >= 0.9, (agree0, agree1)
+    assert (np.asarray(mine["assignment"]) == pos_r.numpy()).mean() > 0.98
+
+
+def test_gt_line_matches_from_pose_depth_parity():
+    rng = np.random.default_rng(9)
+    B, L0, L1, w, h = 2, 10, 12, 128, 96
+    depth0 = rng.uniform(3.0, 6.0, (B, h, w)).astype(np.float32)
+    depth1 = rng.uniform(3.0, 6.0, (B, h, w)).astype(np.float32)
+    depth0[:, :8] = 0.0
+    lines0 = _make_line_set(rng, B, L0, w, h)
+    lines1 = _make_line_set(rng, B, L1, w, h)
+    ref_T, my_T = rand_pose(rng, B, t_scale=0.2)
+    ref_cam, my_cam = make_cameras(rng, B, w, h)
+    npts, dist_th, ov_th, vis_th = 16, 5.0, 0.2, 0.5
+    valid0 = rng.uniform(size=(B, L0)) > 0.1
+    valid1 = rng.uniform(size=(B, L1)) > 0.1
+
+    data = {
+        "view0": {
+            "camera": ref_cam,
+            "depth": torch.from_numpy(depth0),
+            "image": torch.zeros(B, 1, h, w),
+        },
+        "view1": {
+            "camera": ref_cam,
+            "depth": torch.from_numpy(depth1),
+            "image": torch.zeros(B, 1, h, w),
+        },
+        "T_0to1": ref_T,
+        "T_1to0": ref_T.inv(),
+    }
+    pos_r, m0_r, m1_r = ref_gt.gt_line_matches_from_pose_depth(
+        torch.from_numpy(lines0), torch.from_numpy(lines1),
+        torch.from_numpy(valid0), torch.from_numpy(valid1),
+        data, npts, dist_th, ov_th, vis_th,
+    )
+
+    import gluefactory_tpu.geometry.gt_lines as my_gtl
+    mine = my_gtl.gt_line_matches_from_pose_depth(
+        jnp.asarray(lines0), jnp.asarray(lines1),
+        jnp.asarray(valid0), jnp.asarray(valid1),
+        my_cam, my_cam, my_T, jnp.asarray(depth0), jnp.asarray(depth1),
+        shape0=(h, w), shape1=(h, w),
+        n_samples=npts, perp_dist_th=dist_th,
+        overlap_th=ov_th, min_visibility_th=vis_th,
+    )
+    agree0 = (np.asarray(mine["matches0"]) == m0_r.numpy()).mean()
+    agree1 = (np.asarray(mine["matches1"]) == m1_r.numpy()).mean()
+    assert agree0 >= 0.9 and agree1 >= 0.9, (agree0, agree1)
+    assert (np.asarray(mine["assignment"]) == pos_r.numpy()).mean() > 0.98
