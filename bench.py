@@ -33,7 +33,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 # stacked two-view extraction doubles the conv batch to 2*BATCH images
 IMAGE_SIZE = 1024
 NUM_KEYPOINTS = 2048
-ITERS = 20
+ITERS = int(os.environ.get("BENCH_ITERS", "50"))
 DTYPE = "bfloat16"  # forward compute dtype
 # int8 post-training-quantized extraction (ops/int8_conv.py) is available
 # (BENCH_QUANTIZE=int8) but measured a WASH on this backend: XLA's conv

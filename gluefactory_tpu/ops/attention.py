@@ -126,9 +126,13 @@ def bidirectional_attention(
     qk0: (B, H, M, D), qk1: (B, H, N, D). Returns (m0 (B,H,M,D), m1 (B,H,N,D)).
     """
     if _use_flash(max(qk0.shape[2], qk1.shape[2]), qk0.shape[-1], flash):
-        m0 = mha(qk0, qk1, v1, mask_q=mask0, mask_k=mask1, flash=flash)
-        m1 = mha(qk1, qk0, v0, mask_q=mask1, mask_k=mask0, flash=flash)
-        return m0, m1
+        from .pallas_attention import flash_bidirectional
+
+        B, M = qk0.shape[0], qk0.shape[2]
+        N = qk1.shape[2]
+        m0_ = mask0 if mask0 is not None else jnp.ones((B, M), bool)
+        m1_ = mask1 if mask1 is not None else jnp.ones((B, N), bool)
+        return flash_bidirectional(qk0, qk1, v0, v1, m0_, m1_)
     dtype = qk0.dtype
     scale = 1.0 / jnp.sqrt(jnp.asarray(qk0.shape[-1], jnp.float32))
     sim = jnp.einsum("bhmd,bhnd->bhmn", qk0, qk1, preferred_element_type=jnp.float32)

@@ -90,3 +90,66 @@ def test_flash_mha_gradients_match_reference():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     finally:
         pa.fused_attention = saved
+
+
+def test_fused_bidirectional_matches_reference():
+    """Bidirectional shared-QK cross-attention kernel vs the jnp path,
+    including partial masks, uneven M vs N, and fully-masked sides."""
+    from gluefactory_tpu.ops.attention import bidirectional_attention
+    from gluefactory_tpu.ops.pallas_attention import fused_bidirectional_attention
+
+    rng = np.random.default_rng(7)
+    B, H, M, N, D = 2, 3, 80, 64, 16
+    qk0 = jnp.asarray(rng.normal(size=(B, H, M, D)), jnp.float32)
+    qk1 = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    v0 = jnp.asarray(rng.normal(size=(B, H, M, D)), jnp.float32)
+    v1 = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    cases = [
+        (jnp.ones((B, M), bool), jnp.ones((B, N), bool)),
+        (
+            jnp.asarray(rng.uniform(size=(B, M)) > 0.3),
+            jnp.asarray(rng.uniform(size=(B, N)) > 0.3),
+        ),
+        (jnp.zeros((B, M), bool), jnp.asarray(rng.uniform(size=(B, N)) > 0.3)),
+        (jnp.asarray(rng.uniform(size=(B, M)) > 0.3), jnp.zeros((B, N), bool)),
+    ]
+    for mask0, mask1 in cases:
+        r0, r1 = bidirectional_attention(qk0, qk1, v0, v1, mask0, mask1, flash=False)
+        o0, o1 = fused_bidirectional_attention(
+            qk0, qk1, v0, v1, mask0, mask1, block_q=32, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(r0), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(r1), atol=2e-5)
+
+
+def test_flash_bidirectional_gradients_match_reference():
+    from gluefactory_tpu.ops import pallas_attention as pa
+
+    rng = np.random.default_rng(8)
+    B, H, M, N, D = 1, 2, 32, 48, 16
+    qk0 = jnp.asarray(rng.normal(size=(B, H, M, D)), jnp.float32)
+    qk1 = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    v0 = jnp.asarray(rng.normal(size=(B, H, M, D)), jnp.float32)
+    v1 = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    mask0 = jnp.asarray(np.r_[np.ones(24, bool), np.zeros(8, bool)][None])
+    mask1 = jnp.asarray(np.r_[np.ones(40, bool), np.zeros(8, bool)][None])
+
+    orig = pa.fused_bidirectional_attention
+    pa.fused_bidirectional_attention = lambda *a: orig(
+        *a, block_q=32, interpret=True
+    )
+    try:
+        def loss_flash(qk0, qk1, v0, v1):
+            m0, m1 = pa.flash_bidirectional(qk0, qk1, v0, v1, mask0, mask1)
+            return (m0**2).sum() + (m1**2).sum()
+
+        def loss_ref(qk0, qk1, v0, v1):
+            m0, m1 = pa._bidir_reference(qk0, qk1, v0, v1, mask0, mask1)
+            return (m0**2).sum() + (m1**2).sum()
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(qk0, qk1, v0, v1)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qk0, qk1, v0, v1)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    finally:
+        pa.fused_bidirectional_attention = orig
