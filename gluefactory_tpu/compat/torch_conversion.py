@@ -559,5 +559,165 @@ def convert_hardnet(sd: dict) -> tuple:
     return params, stats
 
 
+def convert_superpoint_open(sd: dict) -> tuple:
+    """rpautrat SuperPoint (`superpoint_v6_from_tf.pth`, layout of reference
+    `models/extractors/superpoint_open.py:97-121`: backbone.{blk}.{i} /
+    detector.{i} / descriptor.{i} VGGBlocks each holding conv+bn) ->
+    (params, batch_stats) for `extractors/superpoint.SuperPoint`
+    with `variant: open`."""
+    sd = strip_prefixes(sd)
+    params: dict = {}
+    stats: dict = {}
+
+    def block(dst: str, src: str):
+        params[dst] = {
+            "Conv_0": {
+                "kernel": _conv(sd[f"{src}.conv.weight"]),
+                "bias": np.asarray(sd[f"{src}.conv.bias"]),
+            },
+            "BatchNorm_0": {
+                "scale": np.asarray(sd[f"{src}.bn.weight"]),
+                "bias": np.asarray(sd[f"{src}.bn.bias"]),
+            },
+        }
+        stats[dst] = {
+            "BatchNorm_0": {
+                "mean": np.asarray(sd[f"{src}.bn.running_mean"]),
+                "var": np.asarray(sd[f"{src}.bn.running_var"]),
+            }
+        }
+
+    n_blocks = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("backbone.")
+    )
+    for i in range(n_blocks):
+        block(f"conv{i+1}a", f"backbone.{i}.0")
+        block(f"conv{i+1}b", f"backbone.{i}.1")
+    block("convPa", "detector.0")
+    block("convPb", "detector.1")
+    block("convDa", "descriptor.0")
+    block("convDb", "descriptor.1")
+    return params, stats
+
+
+def convert_dinov2(sd: dict) -> dict:
+    """DINOv2 ViT weights -> `models/backbones/dinov2.DinoV2` params.
+
+    Accepts BOTH public layouts:
+      - official torch-hub release (`dinov2_vit{s,b,l,g}14[_reg]_pretrain.pth`):
+        `blocks.{i}.attn.qkv.weight`, `ls1.gamma`, ...
+      - HuggingFace `transformers.Dinov2Model` state dicts:
+        `encoder.layer.{i}.attention.attention.{query,key,value}.weight`,
+        `layer_scale1.lambda1`, ... (q/k/v are re-fused into our qkv blocks,
+        which is exactly the official packing).
+
+    Non-circular parity vs the executing `transformers.Dinov2Model` is pinned
+    in `tests/test_torchref_parity.py::test_dinov2_parity_hf`.
+    """
+    sd = strip_prefixes(sd, ("model.", "module.", "dinov2."))
+    hf = any(k.startswith("encoder.layer.") for k in sd)
+    params: dict = {}
+
+    if hf:
+        emb = "embeddings."
+        params["cls_token"] = np.asarray(sd[f"{emb}cls_token"])
+        params["pos_embed"] = np.asarray(sd[f"{emb}position_embeddings"])
+        params["patch_embed"] = {
+            "kernel": _conv(sd[f"{emb}patch_embeddings.projection.weight"]),
+            "bias": np.asarray(sd[f"{emb}patch_embeddings.projection.bias"]),
+        }
+        depth = 1 + max(
+            int(k.split(".")[2]) for k in sd if k.startswith("encoder.layer.")
+        )
+        for i in range(depth):
+            b = f"encoder.layer.{i}"
+            qw = np.asarray(sd[f"{b}.attention.attention.query.weight"])
+            kw = np.asarray(sd[f"{b}.attention.attention.key.weight"])
+            vw = np.asarray(sd[f"{b}.attention.attention.value.weight"])
+            qb = np.asarray(sd[f"{b}.attention.attention.query.bias"])
+            kb = np.asarray(sd[f"{b}.attention.attention.key.bias"])
+            vb = np.asarray(sd[f"{b}.attention.attention.value.bias"])
+            params[f"block_{i}"] = {
+                "norm1": {
+                    "scale": np.asarray(sd[f"{b}.norm1.weight"]),
+                    "bias": np.asarray(sd[f"{b}.norm1.bias"]),
+                },
+                "qkv": {
+                    "kernel": _t(np.concatenate([qw, kw, vw], axis=0)),
+                    "bias": np.concatenate([qb, kb, vb]),
+                },
+                "proj": {
+                    "kernel": _t(sd[f"{b}.attention.output.dense.weight"]),
+                    "bias": np.asarray(sd[f"{b}.attention.output.dense.bias"]),
+                },
+                "ls1": np.asarray(sd[f"{b}.layer_scale1.lambda1"]),
+                "norm2": {
+                    "scale": np.asarray(sd[f"{b}.norm2.weight"]),
+                    "bias": np.asarray(sd[f"{b}.norm2.bias"]),
+                },
+                "fc1": {
+                    "kernel": _t(sd[f"{b}.mlp.fc1.weight"]),
+                    "bias": np.asarray(sd[f"{b}.mlp.fc1.bias"]),
+                },
+                "fc2": {
+                    "kernel": _t(sd[f"{b}.mlp.fc2.weight"]),
+                    "bias": np.asarray(sd[f"{b}.mlp.fc2.bias"]),
+                },
+                "ls2": np.asarray(sd[f"{b}.layer_scale2.lambda1"]),
+            }
+        params["norm"] = {
+            "scale": np.asarray(sd["layernorm.weight"]),
+            "bias": np.asarray(sd["layernorm.bias"]),
+        }
+        return params
+
+    params["cls_token"] = np.asarray(sd["cls_token"])
+    params["pos_embed"] = np.asarray(sd["pos_embed"])
+    if "register_tokens" in sd:
+        params["register_tokens"] = np.asarray(sd["register_tokens"])
+    params["patch_embed"] = {
+        "kernel": _conv(sd["patch_embed.proj.weight"]),
+        "bias": np.asarray(sd["patch_embed.proj.bias"]),
+    }
+    depth = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+    for i in range(depth):
+        b = f"blocks.{i}"
+        params[f"block_{i}"] = {
+            "norm1": {
+                "scale": np.asarray(sd[f"{b}.norm1.weight"]),
+                "bias": np.asarray(sd[f"{b}.norm1.bias"]),
+            },
+            "qkv": {
+                "kernel": _t(sd[f"{b}.attn.qkv.weight"]),
+                "bias": np.asarray(sd[f"{b}.attn.qkv.bias"]),
+            },
+            "proj": {
+                "kernel": _t(sd[f"{b}.attn.proj.weight"]),
+                "bias": np.asarray(sd[f"{b}.attn.proj.bias"]),
+            },
+            "ls1": np.asarray(sd[f"{b}.ls1.gamma"]),
+            "norm2": {
+                "scale": np.asarray(sd[f"{b}.norm2.weight"]),
+                "bias": np.asarray(sd[f"{b}.norm2.bias"]),
+            },
+            "fc1": {
+                "kernel": _t(sd[f"{b}.mlp.fc1.weight"]),
+                "bias": np.asarray(sd[f"{b}.mlp.fc1.bias"]),
+            },
+            "fc2": {
+                "kernel": _t(sd[f"{b}.mlp.fc2.weight"]),
+                "bias": np.asarray(sd[f"{b}.mlp.fc2.bias"]),
+            },
+            "ls2": np.asarray(sd[f"{b}.ls2.gamma"]),
+        }
+    params["norm"] = {
+        "scale": np.asarray(sd["norm.weight"]),
+        "bias": np.asarray(sd["norm.bias"]),
+    }
+    return params
+
+
 CONVERTERS["aliked"] = convert_aliked
 CONVERTERS["hardnet"] = convert_hardnet
+CONVERTERS["dinov2"] = convert_dinov2
+CONVERTERS["superpoint_open"] = convert_superpoint_open

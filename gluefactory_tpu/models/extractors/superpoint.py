@@ -41,18 +41,33 @@ def rgb_to_grayscale(image: jnp.ndarray) -> jnp.ndarray:
 
 
 class VGGBlock(nn.Module):
+    """conv (+BN) (+relu) block.
+
+    The "open" variant reproduces the rpautrat ordering exactly —
+    conv -> relu -> BN with eps=1e-3 (reference
+    `models/extractors/superpoint_open.py:59-76`: Sequential(conv,
+    activation, bn)) — via `bn_after_relu`."""
+
     out_channels: int
     kernel: int = 3
     relu: bool = True
     use_bn: bool = False
+    bn_after_relu: bool = False
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.out_channels, (self.kernel, self.kernel), padding="SAME")(x)
-        if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5, momentum=0.9)(x)
+        if self.use_bn and not self.bn_after_relu:
+            x = nn.BatchNorm(
+                use_running_average=not train, epsilon=self.bn_eps, momentum=0.9
+            )(x)
         if self.relu:
             x = nn.relu(x)
+        if self.use_bn and self.bn_after_relu:
+            x = nn.BatchNorm(
+                use_running_average=not train, epsilon=self.bn_eps, momentum=0.9
+            )(x)
         return x
 
 
@@ -95,16 +110,22 @@ class SuperPoint(BaseModel):
     def setup(self):
         c = self.conf
         use_bn = c.variant == "open"
+        bn_kw = dict(use_bn=use_bn, bn_after_relu=use_bn, bn_eps=1e-3 if use_bn else 1e-5)
         chans = list(c.channels)
         backbone = []
         for i, ch in enumerate(chans):
-            backbone.append(VGGBlock(ch, use_bn=use_bn, name=f"conv{i+1}a"))
-            backbone.append(VGGBlock(ch, use_bn=use_bn, name=f"conv{i+1}b"))
+            backbone.append(VGGBlock(ch, name=f"conv{i+1}a", **bn_kw))
+            backbone.append(VGGBlock(ch, name=f"conv{i+1}b", **bn_kw))
         self.backbone = backbone
-        self.convPa = VGGBlock(c.head_channels, use_bn=use_bn, name="convPa")
-        self.convPb = VGGBlock(65, kernel=1, relu=False, use_bn=False, name="convPb")
-        self.convDa = VGGBlock(c.head_channels, use_bn=use_bn, name="convDa")
-        self.convDb = VGGBlock(c.descriptor_dim, kernel=1, relu=False, use_bn=False, name="convDb")
+        self.convPa = VGGBlock(c.head_channels, name="convPa", **bn_kw)
+        # the open variant batch-normalizes the 1x1 head outputs too
+        # (reference superpoint_open.py:108-116: VGGBlock(..., relu=False)
+        # still carries a BN after the identity activation)
+        self.convPb = VGGBlock(65, kernel=1, relu=False, name="convPb", **bn_kw)
+        self.convDa = VGGBlock(c.head_channels, name="convDa", **bn_kw)
+        self.convDb = VGGBlock(
+            c.descriptor_dim, kernel=1, relu=False, name="convDb", **bn_kw
+        )
 
     def _int8_dense(self, image: jnp.ndarray):
         """Dense pass (backbone + both heads) in int8 (ops/int8_conv.py).
@@ -302,7 +323,12 @@ class SuperPoint(BaseModel):
             kpt_scores = jnp.where(valid, kpt_scores, 0.0)
             valid = jnp.ones_like(valid)
 
-        desc = sample_descriptors(kpts, dense_desc, stride=8)
+        # vanilla reproduces sample_descriptors_fix_sampling's legacy offset;
+        # open samples at the geometric center (superpoint_open.py:20-31:
+        # (k + 0.5)/(wh*s), align_corners=False)
+        desc = sample_descriptors(
+            kpts, dense_desc, stride=8, legacy_offset=c.variant == "vanilla"
+        )
         pred = {
             "keypoints": kpts,
             "keypoint_scores": kpt_scores,

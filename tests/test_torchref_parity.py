@@ -590,3 +590,235 @@ def test_gluestick_forward_parity():
     assert (
         np.asarray(out["line_matches0"])[0, :L] == _np(ref_out["line_matches0"])[0]
     ).all()
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 (vs the executing HuggingFace Dinov2Model — the official torch-hub
+# layout is the same network; convert_dinov2 accepts both layouts)
+# ---------------------------------------------------------------------------
+
+
+def test_dinov2_parity_hf():
+    transformers = pytest.importorskip("transformers")
+    from transformers import Dinov2Config, Dinov2Model
+
+    from gluefactory_tpu.compat.torch_conversion import convert_dinov2
+    from gluefactory_tpu.models.backbones.dinov2 import DinoV2
+
+    torch.manual_seed(0)
+    cfg = Dinov2Config(
+        hidden_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        mlp_ratio=4,
+        image_size=28,
+        patch_size=14,
+        layerscale_value=0.1,
+        hidden_act="gelu",
+        attn_implementation="eager",
+    )
+    ref = Dinov2Model(cfg).eval()
+    img = (
+        np.random.default_rng(0).uniform(0, 1, (2, 28, 28, 3)).astype(np.float32)
+    )
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    last = _np(ref_out.last_hidden_state)
+
+    params = convert_dinov2(_sd(ref))
+    model = DinoV2.from_conf(
+        {
+            "weights": "dinov2_vits14",
+            "embed_dim": 64,
+            "depth": 3,
+            "num_heads": 4,
+            "img_size": 28,
+        }
+    )
+    out = model.apply({"params": params}, {"image": jnp.asarray(img)})
+    np.testing.assert_allclose(
+        np.asarray(out["global_descriptor"]), last[:, 0], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["descriptors"]), last[:, 1:], atol=2e-5
+    )
+    feats = np.asarray(out["features"])
+    assert feats.shape == (2, 2, 2, 64)
+    np.testing.assert_allclose(
+        feats.reshape(2, 4, 64), last[:, 1:], atol=2e-5
+    )
+
+
+def test_dinov2_official_layout_roundtrip():
+    """The official torch-hub key layout (blocks.{i}.attn.qkv / ls1.gamma)
+    converts to the same params as the HF layout for the same weights."""
+    from transformers import Dinov2Config, Dinov2Model
+
+    from gluefactory_tpu.compat.torch_conversion import convert_dinov2
+
+    torch.manual_seed(1)
+    cfg = Dinov2Config(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        mlp_ratio=4,
+        image_size=28,
+        patch_size=14,
+        layerscale_value=0.1,
+        attn_implementation="eager",
+    )
+    ref = Dinov2Model(cfg).eval()
+    hf_sd = _sd(ref)
+    # re-express the same weights in the official torch-hub layout
+    official = {
+        "cls_token": hf_sd["embeddings.cls_token"],
+        "pos_embed": hf_sd["embeddings.position_embeddings"],
+        "patch_embed.proj.weight": hf_sd[
+            "embeddings.patch_embeddings.projection.weight"
+        ],
+        "patch_embed.proj.bias": hf_sd[
+            "embeddings.patch_embeddings.projection.bias"
+        ],
+        "norm.weight": hf_sd["layernorm.weight"],
+        "norm.bias": hf_sd["layernorm.bias"],
+    }
+    for i in range(2):
+        h = f"encoder.layer.{i}"
+        o = f"blocks.{i}"
+        official[f"{o}.norm1.weight"] = hf_sd[f"{h}.norm1.weight"]
+        official[f"{o}.norm1.bias"] = hf_sd[f"{h}.norm1.bias"]
+        official[f"{o}.attn.qkv.weight"] = np.concatenate(
+            [
+                hf_sd[f"{h}.attention.attention.query.weight"],
+                hf_sd[f"{h}.attention.attention.key.weight"],
+                hf_sd[f"{h}.attention.attention.value.weight"],
+            ],
+            axis=0,
+        )
+        official[f"{o}.attn.qkv.bias"] = np.concatenate(
+            [
+                hf_sd[f"{h}.attention.attention.query.bias"],
+                hf_sd[f"{h}.attention.attention.key.bias"],
+                hf_sd[f"{h}.attention.attention.value.bias"],
+            ]
+        )
+        official[f"{o}.attn.proj.weight"] = hf_sd[
+            f"{h}.attention.output.dense.weight"
+        ]
+        official[f"{o}.attn.proj.bias"] = hf_sd[
+            f"{h}.attention.output.dense.bias"
+        ]
+        official[f"{o}.ls1.gamma"] = hf_sd[f"{h}.layer_scale1.lambda1"]
+        official[f"{o}.norm2.weight"] = hf_sd[f"{h}.norm2.weight"]
+        official[f"{o}.norm2.bias"] = hf_sd[f"{h}.norm2.bias"]
+        official[f"{o}.mlp.fc1.weight"] = hf_sd[f"{h}.mlp.fc1.weight"]
+        official[f"{o}.mlp.fc1.bias"] = hf_sd[f"{h}.mlp.fc1.bias"]
+        official[f"{o}.mlp.fc2.weight"] = hf_sd[f"{h}.mlp.fc2.weight"]
+        official[f"{o}.mlp.fc2.bias"] = hf_sd[f"{h}.mlp.fc2.bias"]
+        official[f"{o}.ls2.gamma"] = hf_sd[f"{h}.layer_scale2.lambda1"]
+
+    p_hf = convert_dinov2(hf_sd)
+    p_off = convert_dinov2(official)
+    flat_hf = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(p_hf)
+    }
+    flat_off = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(p_off)
+    }
+    assert set(flat_hf) == set(flat_off)
+    for k in flat_hf:
+        np.testing.assert_array_equal(flat_hf[k], flat_off[k], err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# SuperPoint-open (rpautrat re-training; BN after relu, eps 1e-3,
+# non-legacy descriptor sampling)
+# ---------------------------------------------------------------------------
+
+
+def test_superpoint_open_forward_parity(monkeypatch):
+    import gluefactory.models.extractors.superpoint_open as ref_mod
+
+    from gluefactory_tpu.compat.torch_conversion import convert_superpoint_open
+    from gluefactory_tpu.models.extractors.superpoint import SuperPoint
+
+    # the reference _init unconditionally loads a checkpoint (from URL in
+    # this zero-egress env) — neutralize the load, keep the random init
+    monkeypatch.setattr(
+        ref_mod.SuperPoint, "load_state_dict", lambda self, sd, **kw: None
+    )
+    monkeypatch.setattr(
+        torch.hub, "load_state_dict_from_url", lambda *a, **kw: {}, raising=False
+    )
+
+    torch.manual_seed(0)
+    K = 64
+    ref = ref_mod.SuperPoint(
+        {
+            "max_num_keypoints": K,
+            "detection_threshold": 0.0,
+            "nms_radius": 4,
+            "remove_borders": 4,
+            "dense_outputs": True,
+        }
+    )
+    ref.eval()
+    # harden: non-trivial BN affine params and running stats
+    gen = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(0.5 + torch.rand(m.weight.shape, generator=gen))
+                m.bias.copy_(torch.rand(m.bias.shape, generator=gen) - 0.5)
+                m.running_mean.copy_(
+                    torch.rand(m.running_mean.shape, generator=gen) - 0.5
+                )
+                m.running_var.copy_(
+                    0.5 + torch.rand(m.running_var.shape, generator=gen)
+                )
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, 96, 128, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref({"image": torch.from_numpy(img.transpose(0, 3, 1, 2))})
+
+    params, stats = convert_superpoint_open(_sd(ref))
+    sp = SuperPoint.from_conf(
+        {
+            "variant": "open",
+            "max_num_keypoints": K,
+            "detection_threshold": 0.0,
+            "nms_radius": 4,
+            "remove_borders": 4,
+            "dense_outputs": True,
+        }
+    )
+    out = sp.apply(
+        {"params": params, "batch_stats": stats},
+        {"image": jnp.asarray(img)},
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out["dense_descriptors"])[0],
+        _np(ref_out["dense_descriptors"])[0].transpose(1, 2, 0),
+        atol=1e-5,
+    )
+
+    mask = np.asarray(out["keypoint_mask"])[0]
+    assert mask.all(), "expected a full top-K at threshold 0"
+    kpts = np.asarray(out["keypoints"])[0]
+    scores = np.asarray(out["keypoint_scores"])[0]
+    desc = np.asarray(out["descriptors"])[0]
+    ref_kpts = _np(ref_out["keypoints"])[0]
+    ref_scores = _np(ref_out["keypoint_scores"])[0]
+    ref_desc = _np(ref_out["descriptors"])[0]
+
+    def order(k):
+        return np.lexsort((k[:, 0], k[:, 1]))
+
+    oi, oj = order(kpts), order(ref_kpts)
+    np.testing.assert_allclose(kpts[oi], ref_kpts[oj], atol=1e-4)
+    np.testing.assert_allclose(scores[oi], ref_scores[oj], atol=1e-5)
+    np.testing.assert_allclose(desc[oi], ref_desc[oj], atol=5e-4)

@@ -241,7 +241,18 @@ def _make_torchvision_module() -> types.ModuleType:
     models.resnet = resnet
     tv.ops = ops
     tv.models = models
+    for mod in (tv, ops, models, resnet):
+        _give_spec(mod)
     return tv, ops, models, resnet
+
+
+def _give_spec(mod: types.ModuleType) -> None:
+    """`importlib.util.find_spec` raises ValueError on an in-sys.modules
+    module whose __spec__ is None (e.g. transformers probes torchvision at
+    import time) — give shim modules a minimal ModuleSpec."""
+    import importlib.machinery
+
+    mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, None)
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +270,9 @@ def load_reference():
             try:
                 import omegaconf  # noqa: F401
             except ImportError:
-                sys.modules["omegaconf"] = _make_omegaconf_module()
+                _om = _make_omegaconf_module()
+                _give_spec(_om)
+                sys.modules["omegaconf"] = _om
         if "torchvision" not in sys.modules:
             try:
                 import torchvision  # noqa: F401
@@ -285,6 +298,8 @@ def load_reference():
                 kd.depth_to_normals = _unavailable
                 kg.depth = kd
                 k.geometry = kg
+                for _m in (k, kg, kd):
+                    _give_spec(_m)
                 sys.modules["kornia"] = k
                 sys.modules["kornia.geometry"] = kg
                 sys.modules["kornia.geometry.depth"] = kd
