@@ -109,9 +109,10 @@ def eval_matches_homography(data: dict, pred: dict) -> dict:
     m0, scores0 = pred["matches0"], pred["matching_scores0"]
     pts0, pts1, scores = get_matches_scores(kpts0, kpts1, m0, scores0)
     err = sym_homography_error_np(pts0, pts1, H_gt)
+    # empty-match precision is 0.0 (reference nan_to_num, eval/utils.py:150-151)
     results = {
-        "prec@1px": float(np.nan_to_num((err < 1).mean()) if err.size else np.nan),
-        "prec@3px": float(np.nan_to_num((err < 3).mean()) if err.size else np.nan),
+        "prec@1px": float(np.nan_to_num((err < 1).mean() if err.size else np.nan)),
+        "prec@3px": float(np.nan_to_num((err < 3).mean() if err.size else np.nan)),
         "num_matches": int(pts0.shape[0]),
         "num_keypoints": int((np.asarray(pred.get("keypoint_mask0", np.ones(len(kpts0), bool))).sum() + np.asarray(pred.get("keypoint_mask1", np.ones(len(kpts1), bool))).sum()) / 2),
     }
@@ -130,11 +131,13 @@ def eval_matches_epipolar(data: dict, pred: dict) -> dict:
     p1 = np.asarray(camera1.normalize(np.asarray(pts1)[None]))[0]
     E = pose_to_E(T_0to1)
     epi_err = sym_epipolar_distance_np(p0, p1, E, squared=False)
+    # empty-match precision is 0.0 (reference nan_to_num, eval/utils.py:63-65)
     results = {
-        "epi_prec@1e-4": float((epi_err < 1e-4).mean()) if epi_err.size else np.nan,
-        "epi_prec@5e-4": float((epi_err < 5e-4).mean()) if epi_err.size else np.nan,
-        "epi_prec@1e-3": float((epi_err < 1e-3).mean()) if epi_err.size else np.nan,
+        "epi_prec@1e-4": float(np.nan_to_num((epi_err < 1e-4).mean() if epi_err.size else np.nan)),
+        "epi_prec@5e-4": float(np.nan_to_num((epi_err < 5e-4).mean() if epi_err.size else np.nan)),
+        "epi_prec@1e-3": float(np.nan_to_num((epi_err < 1e-3).mean() if epi_err.size else np.nan)),
         "num_matches": int(pts0.shape[0]),
+        "num_keypoints": (len(np.asarray(kpts0)) + len(np.asarray(kpts1))) / 2.0,
     }
     return results
 
@@ -154,22 +157,63 @@ def eval_matches_depth(data: dict, pred: dict) -> dict:
     kpts0, kpts1 = pred["keypoints0"], pred["keypoints1"]
     m0, scores0 = pred["matches0"], pred["matching_scores0"]
     pts0, pts1, scores = get_matches_scores(kpts0, kpts1, m0, scores0)
+    results: dict = {"num_matches": int(pts0.shape[0])}
     if pts0.shape[0] == 0:
-        return {"reproj_prec@1px": np.nan, "reproj_prec@3px": np.nan, "num_matches": 0}
-    err, valid = symmetric_reprojection_error(
-        jnp.asarray(pts0[None], jnp.float32),
-        jnp.asarray(pts1[None], jnp.float32),
-        camera0, camera1, T_0to1,
+        # reference semantics: empty selections give 0-precision
+        # (nan_to_num) and zero covisible count (eval/utils.py:103-108)
+        results.update(
+            {
+                "reproj_prec@1px": 0.0,
+                "reproj_prec@3px": 0.0,
+                "reproj_prec@5px": 0.0,
+                "covisible": 0.0,
+                "covisible_percent": 0.0,
+            }
+        )
+    else:
+        err, valid = symmetric_reprojection_error(
+            jnp.asarray(pts0[None], jnp.float32),
+            jnp.asarray(pts1[None], jnp.float32),
+            camera0, camera1, T_0to1,
+            jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
+        )
+        err = np.asarray(err)[0]
+        valid = np.asarray(valid)[0]
+        # invalid-depth entries count as inf error when selected; precision
+        # is over VALID (covisible) matches only (reference :102-108)
+        sel = np.nan_to_num(err[valid], nan=np.inf)
+        results.update(
+            {
+                "reproj_prec@1px": float(np.nan_to_num((sel < 1).mean() if sel.size else np.nan)),
+                "reproj_prec@3px": float(np.nan_to_num((sel < 3).mean() if sel.size else np.nan)),
+                "reproj_prec@5px": float(np.nan_to_num((sel < 5).mean() if sel.size else np.nan)),
+                "covisible": float(valid.sum()),
+                "covisible_percent": float(valid.mean()) * 100.0,
+            }
+        )
+
+    # GT-based recall/precision at 3px (reference :110-133): GT matches from
+    # pose+depth over the FULL keypoint sets, thresholds (3, 5)
+    from ..geometry.gt_generation import gt_matches_from_pose_depth
+
+    kp0 = jnp.asarray(np.asarray(kpts0)[None], jnp.float32)
+    kp1 = jnp.asarray(np.asarray(kpts1)[None], jnp.float32)
+    gt = gt_matches_from_pose_depth(
+        kp0, kp1, camera0, camera1, T_0to1,
         jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
+        pos_th=3.0, neg_th=5.0,
     )
-    err = np.asarray(err)[0]
-    valid = np.asarray(valid)[0]
-    err = err[valid]
-    return {
-        "reproj_prec@1px": float((err < 1).mean()) if err.size else np.nan,
-        "reproj_prec@3px": float((err < 3).mean()) if err.size else np.nan,
-        "num_matches": int(pts0.shape[0]),
-    }
+    gt_m = np.asarray(gt["matches0"])[0]
+    m = np.asarray(m0)
+    pos = (gt_m > -1).astype(np.float64)
+    results["gt_match_recall@3px"] = float(
+        ((m == gt_m) * pos).sum() / (1e-8 + pos.sum())
+    )
+    pmask = ((m > -1) & (gt_m >= -1)).astype(np.float64)
+    results["gt_match_precision@3px"] = float(
+        ((m == gt_m) * pmask).sum() / (1e-8 + pmask.sum())
+    )
+    return results
 
 
 def eval_relative_pose_robust(data: dict, pred: dict, conf) -> dict:
@@ -338,5 +382,6 @@ def eval_poses(pose_results: dict, auc_ths: list, key: str, unit: str = "°") ->
     for k, v in pose_results[best_th].items():
         arr = np.asarray(v, dtype=np.float64)
         if arr.ndim == 1:
-            summaries[f"m{k}"] = float(np.nanmedian(arr))
+            # reference: round(np.median(arr), 3) (eval/utils.py:286-289)
+            summaries[f"m{k}"] = float(round(np.median(arr), 3))
     return summaries, best_th

@@ -145,11 +145,13 @@ def symmetric_reprojection_error(
     validity mask (reference `depth.py:91-116`). Returns (error (B, N), valid)."""
     d0, valid0 = sample_depth(kpts0, depth0)
     d1, valid1 = sample_depth(kpts1, depth1)
-    kpts0_1, v01 = project(kpts0, d0, depth1, camera0, camera1, T_0to1, valid0)
-    kpts1_0, v10 = project(kpts1, d1, depth0, camera1, camera0, T_0to1.inv(), valid1)
+    kpts0_1, _ = project(kpts0, d0, depth1, camera0, camera1, T_0to1, valid0)
+    kpts1_0, _ = project(kpts1, d1, depth0, camera1, camera0, T_0to1.inv(), valid1)
     err = 0.5 * (
         jnp.linalg.norm(kpts0_1 - kpts1, axis=-1)
         + jnp.linalg.norm(kpts1_0 - kpts0, axis=-1)
     )
-    valid = v01 & v10
+    # reference depth.py:114: validity is DEPTH validity only — projection
+    # visibility (in-image bounds) does not gate the error
+    valid = valid0 & valid1
     return err, valid

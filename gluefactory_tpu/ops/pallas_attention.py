@@ -38,12 +38,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / jnp.maximum(s, 1e-30)
     any_valid = jnp.max(mask) > 0
+    # probabilities in the value dtype: for bf16 inputs the (BLK, N) @ (N, D)
+    # matmul runs at the MXU's bf16 rate (an f32 matmul is several passes on
+    # this hardware) with f32 accumulation; normalization moves after the
+    # matmul ((e/s) @ v == (e @ v)/s), which also shrinks the divide from
+    # (BLK, N) to (BLK, D). f32 inputs keep an all-f32 compute path.
     o = jax.lax.dot_general(
-        p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) / jnp.maximum(s, 1e-30)
     o_ref[0] = jnp.where(any_valid, o, jnp.zeros_like(o)).astype(o_ref.dtype)
 
 
@@ -129,12 +133,12 @@ def _bidir_kernel(qk0_ref, qk1_ref, v0_ref, v1_ref, m0i_ref, m1i_ref,
     rm = jnp.max(r, axis=-1, keepdims=True)
     re = jnp.exp(r - rm)
     rs = jnp.sum(re, axis=-1, keepdims=True)
-    p0 = re / jnp.maximum(rs, 1e-30)
     any1 = jnp.max(mask1) > 0
+    # value-dtype probabilities + post-matmul normalization (see _attn_kernel)
     o0 = jax.lax.dot_general(
-        p0, v1.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        re.astype(v1.dtype), v1, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) / jnp.maximum(rs, 1e-30)
     o0_ref[0] = jnp.where(any1, o0, jnp.zeros_like(o0)).astype(o0_ref.dtype)
 
     # direction 1 -> 0: column softmax over M (mask0 on rows), accumulated
@@ -153,9 +157,9 @@ def _bidir_kernel(qk0_ref, qk1_ref, v0_ref, v1_ref, m0i_ref, m1i_ref,
     prev_acc = jnp.where(i > 0, acc_ref[...], jnp.zeros_like(acc_ref[...]))
     new_sum = prev_sum * alpha + blk_sum
     contrib = jax.lax.dot_general(
-        e, v0.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        e.astype(v0.dtype), v0, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (N, D)
+    )  # (N, D), f32 accumulator
     new_acc = prev_acc * jnp.transpose(alpha) + contrib
     cmax_ref[...] = new_max
     csum_ref[...] = new_sum

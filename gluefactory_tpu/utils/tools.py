@@ -110,7 +110,9 @@ def cal_error_auc(errors, thresholds):
         last_index = np.searchsorted(errors, t)
         r = np.r_[recall[:last_index], recall[last_index - 1]]
         e = np.r_[errors[:last_index], t]
-        aucs.append(float(np.trapezoid(r, x=e) / t))
+        # reference rounds each AUC to 4 decimals (tools.py:148) — reported
+        # table numbers must match digit-for-digit
+        aucs.append(float(np.round(np.trapezoid(r, x=e) / t, 4)))
     return aucs
 
 

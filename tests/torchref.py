@@ -296,13 +296,19 @@ def load_reference():
                     raise NotImplementedError("kornia is not installed")
 
                 kd.depth_to_normals = _unavailable
+                kh = types.ModuleType("kornia.geometry.homography")
+                # eval/utils.py imports this at module scope; only
+                # eval_homography_dlt calls it (not under parity test)
+                kh.find_homography_dlt = _unavailable
                 kg.depth = kd
+                kg.homography = kh
                 k.geometry = kg
-                for _m in (k, kg, kd):
+                for _m in (k, kg, kd, kh):
                     _give_spec(_m)
                 sys.modules["kornia"] = k
                 sys.modules["kornia.geometry"] = kg
                 sys.modules["kornia.geometry.depth"] = kd
+                sys.modules["kornia.geometry.homography"] = kh
         # Resolve ONLY `gluefactory` / `gluefactory_nonfree` from the
         # reference checkout via a meta-path finder.  /root/reference must
         # NOT go on sys.path: its `tests/` is a regular package (has
