@@ -38,8 +38,8 @@ class NearestNeighborMatcher(BaseModel):
             sim = jnp.where(mask0[..., :, None], sim, NEG_INF)
         if mask1 is not None:
             sim = jnp.where(mask1[..., None, :], sim, NEG_INF)
-        matches0, scores0 = find_nn(sim, self.conf.ratio_thresh, self.conf.distance_thresh)
-        matches1, scores1 = find_nn(
+        matches0, _ = find_nn(sim, self.conf.ratio_thresh, self.conf.distance_thresh)
+        matches1, _ = find_nn(
             jnp.swapaxes(sim, 1, 2), self.conf.ratio_thresh, self.conf.distance_thresh
         )
         if self.conf.mutual_check:
@@ -47,26 +47,45 @@ class NearestNeighborMatcher(BaseModel):
             matches1 = mutual_check(matches1, matches0)
         if mask0 is not None:
             matches0 = jnp.where(mask0, matches0, -1)
-            scores0 = scores0 * mask0
         if mask1 is not None:
             matches1 = jnp.where(mask1, matches1, -1)
-            scores1 = scores1 * mask1
+        # reference :65-72: binary matching scores; dual-softmax
+        # log-assignment over the raw similarity
+        scores0 = (matches0 > -1).astype(sim.dtype)
+        scores1 = (matches1 > -1).astype(sim.dtype)
+        b, m, n = sim.shape
+        la_inner = jax.nn.log_softmax(sim, axis=-1) + jax.nn.log_softmax(sim, axis=-2)
+        la = jnp.zeros((b, m + 1, n + 1), sim.dtype).at[:, :-1, :-1].set(la_inner)
         return {
             "matches0": matches0,
             "matches1": matches1,
             "matching_scores0": scores0,
             "matching_scores1": scores1,
             "similarity": sim,
+            "log_assignment": la,
         }
 
     def loss(self, pred: dict, data: dict):
+        """N-pair contrastive loss, reference-exact
+        (`nearest_neighbor_matcher.py:74-97`): distance-derived scores
+        `temperature * (2 - sqrt(clamp(2(1-sim), 1e-6)))`, dual log-softmax,
+        NLL averaged over the GT assignment count."""
         if self.conf.loss != "N_pair":
             raise NotImplementedError
-        sim = pred["similarity"] * jnp.exp(self.temperature)
-        gt = data["gt_assignment"].astype(sim.dtype)  # (B, M, N)
-        row_has_gt = gt.sum(-1) > 0
-        log_p = jax.nn.log_softmax(sim, axis=-1)
-        nll = -(log_p * gt).sum(-1)
-        num = jnp.maximum(row_has_gt.sum(-1), 1)
-        loss = (nll * row_has_gt).sum(-1) / num
-        return {"total": loss}, {}
+        sim = pred["similarity"]
+        scores = jnp.sqrt(jnp.clip(2.0 * (1.0 - sim), 1e-6, None))
+        scores = self.temperature * (2.0 - scores)
+        assignment = data["gt_assignment"].astype(scores.dtype)  # (B, M, N)
+        num = jnp.maximum(assignment.sum((1, 2)), 1.0)
+        prob0 = jax.nn.log_softmax(scores, axis=2)
+        prob1 = jax.nn.log_softmax(scores, axis=1)
+        nll0 = (prob0 * assignment).sum((1, 2)) / num
+        nll1 = (prob1 * assignment).sum((1, 2)) / num
+        nll = -(nll0 + nll1) / 2.0
+        losses = {
+            "n_pair_nll": nll,
+            "total": nll,
+            "num_matchable": num,
+            "n_pair_temperature": jnp.asarray(self.temperature)[None],
+        }
+        return losses, {}

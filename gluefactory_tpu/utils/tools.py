@@ -94,7 +94,9 @@ class RecallMetric:
         arr = np.asarray(self._elements)
         if arr.size == 0:
             return np.nan
-        return float((arr <= th).sum() / arr.size)
+        # reference tools.py:132: STRICT comparison, NaNs count in the
+        # denominator (compare False)
+        return float((arr < th).sum() / arr.size)
 
 
 def cal_error_auc(errors, thresholds):
