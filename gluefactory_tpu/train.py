@@ -595,7 +595,11 @@ def training(conf: Config, output_dir: Path, args):
                     train_step, variables, opt_state, batch_dev, step_rng
                 )
                 n_samples += train_bs * k_steps
-                if it % conf.train.log_every_iter == 0:
+                # with dispatch grouping (k_steps > 1) this code only runs on
+                # iterations it = k-1, 2k-1, ... — fire once per
+                # log_every_iter window instead of requiring it % log == 0
+                # (which never holds when log_every_iter is a multiple of k)
+                if it % conf.train.log_every_iter < k_steps:
                     losses_np = retry_transient(
                         lambda: {k: float(v) for k, v in losses.items()}
                     )
