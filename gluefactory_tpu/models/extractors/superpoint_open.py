@@ -14,6 +14,6 @@ class SuperPointOpen(SuperPoint):
     default_conf = {
         "variant": "open",
         "descriptor_dim": 256,
-        "nms_radius": 8,
+        "nms_radius": 4,  # reference superpoint_open.py:81
         "detection_threshold": 0.005,
     }

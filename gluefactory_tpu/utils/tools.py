@@ -32,11 +32,18 @@ class AverageMetric:
 
 
 class FAverageMetric(AverageMetric):
-    """Average that also filters infinities (reference `tools.py:34-52`)."""
+    """Average that additionally tracks all raw elements (reference
+    `tools.py:36-53`: same NaN-only filtering as AverageMetric, plus a
+    full element list)."""
+
+    def __init__(self, elements=None):
+        self._elements = []
+        super().__init__(elements)
 
     def update(self, values):
         values = np.atleast_1d(np.asarray(values, dtype=np.float64))
-        mask = np.isfinite(values)
+        self._elements.extend(values.tolist())
+        mask = ~np.isnan(values)
         self._sum += float(values[mask].sum())
         self._num += int(mask.sum())
 
