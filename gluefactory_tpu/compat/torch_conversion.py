@@ -671,6 +671,12 @@ def convert_dinov2(sd: dict) -> dict:
         }
         return params
 
+    if any(".mlp.w12." in k or ".mlp.w3." in k for k in sd):
+        raise ValueError(
+            "this DINOv2 checkpoint uses a SwiGLU FFN (dinov2_vitg14); the "
+            "implemented ViT block is the fc1/fc2 MLP of the s/b/l variants "
+            "— converting it would be silently wrong"
+        )
     params["cls_token"] = np.asarray(sd["cls_token"])
     params["pos_embed"] = np.asarray(sd["pos_embed"])
     if "register_tokens" in sd:

@@ -114,7 +114,7 @@ def eval_matches_homography(data: dict, pred: dict) -> dict:
         "prec@1px": float(np.nan_to_num((err < 1).mean() if err.size else np.nan)),
         "prec@3px": float(np.nan_to_num((err < 3).mean() if err.size else np.nan)),
         "num_matches": int(pts0.shape[0]),
-        "num_keypoints": int((np.asarray(pred.get("keypoint_mask0", np.ones(len(kpts0), bool))).sum() + np.asarray(pred.get("keypoint_mask1", np.ones(len(kpts1), bool))).sum()) / 2),
+        "num_keypoints": float(np.asarray(pred.get("keypoint_mask0", np.ones(len(kpts0), bool))).sum() + np.asarray(pred.get("keypoint_mask1", np.ones(len(kpts1), bool))).sum()) / 2.0,
     }
     return results
 
@@ -144,10 +144,17 @@ def eval_matches_epipolar(data: dict, pred: dict) -> dict:
 
 def eval_matches_depth(data: dict, pred: dict) -> dict:
     """Reprojection precision via GT depth + GT recall/precision
-    (reference `eval/utils.py:73-134`)."""
+    (reference `eval/utils.py:73-134`).
+
+    Runs its jnp helpers pinned to the CPU backend: loop 2 is a host-side
+    per-pair metrics loop with ragged shapes — eager dispatches to the
+    (relayed, single-owner) TPU would cost seconds each (CLAUDE.md)."""
+    import jax
     import jax.numpy as jnp
 
     from ..geometry.depth import symmetric_reprojection_error
+
+    cpu = jax.devices("cpu")[0]
 
     camera0: Camera = data["view0"]["camera"]
     camera1: Camera = data["view1"]["camera"]
@@ -171,12 +178,13 @@ def eval_matches_depth(data: dict, pred: dict) -> dict:
             }
         )
     else:
-        err, valid = symmetric_reprojection_error(
-            jnp.asarray(pts0[None], jnp.float32),
-            jnp.asarray(pts1[None], jnp.float32),
-            camera0, camera1, T_0to1,
-            jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
-        )
+        with jax.default_device(cpu):
+            err, valid = symmetric_reprojection_error(
+                jnp.asarray(pts0[None], jnp.float32),
+                jnp.asarray(pts1[None], jnp.float32),
+                camera0, camera1, T_0to1,
+                jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
+            )
         err = np.asarray(err)[0]
         valid = np.asarray(valid)[0]
         # invalid-depth entries count as inf error when selected; precision
@@ -196,13 +204,14 @@ def eval_matches_depth(data: dict, pred: dict) -> dict:
     # pose+depth over the FULL keypoint sets, thresholds (3, 5)
     from ..geometry.gt_generation import gt_matches_from_pose_depth
 
-    kp0 = jnp.asarray(np.asarray(kpts0)[None], jnp.float32)
-    kp1 = jnp.asarray(np.asarray(kpts1)[None], jnp.float32)
-    gt = gt_matches_from_pose_depth(
-        kp0, kp1, camera0, camera1, T_0to1,
-        jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
-        pos_th=3.0, neg_th=5.0,
-    )
+    with jax.default_device(cpu):
+        kp0 = jnp.asarray(np.asarray(kpts0)[None], jnp.float32)
+        kp1 = jnp.asarray(np.asarray(kpts1)[None], jnp.float32)
+        gt = gt_matches_from_pose_depth(
+            kp0, kp1, camera0, camera1, T_0to1,
+            jnp.asarray(depth0[None]), jnp.asarray(depth1[None]),
+            pos_th=3.0, neg_th=5.0,
+        )
     gt_m = np.asarray(gt["matches0"])[0]
     m = np.asarray(m0)
     pos = (gt_m > -1).astype(np.float64)
@@ -292,11 +301,14 @@ def eval_homography_dlt(data: dict, pred: dict) -> dict:
     pts0, pts1, scores = get_matches_scores(kpts0, kpts1, m0, scores0)
     error = np.nan
     if pts0.shape[0] >= 4 and scores.sum() > 0:
-        H = compute_homography_dlt(
-            jnp.asarray(pts0[None], jnp.float32),
-            jnp.asarray(pts1[None], jnp.float32),
-            jnp.asarray(scores[None], jnp.float32),
-        )
+        import jax
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            H = compute_homography_dlt(
+                jnp.asarray(pts0[None], jnp.float32),
+                jnp.asarray(pts1[None], jnp.float32),
+                jnp.asarray(scores[None], jnp.float32),
+            )
         H = np.asarray(H)[0]
         if np.isfinite(H).all():
             size = np.asarray(data["view0"]["image_size"])

@@ -38,8 +38,36 @@ VIT_CONFS = {
     "dinov2_vits14": {"embed_dim": 384, "depth": 12, "num_heads": 6},
     "dinov2_vitb14": {"embed_dim": 768, "depth": 12, "num_heads": 12},
     "dinov2_vitl14": {"embed_dim": 1024, "depth": 24, "num_heads": 16},
-    "dinov2_vitg14": {"embed_dim": 1536, "depth": 40, "num_heads": 24},
+    # NOTE: dinov2_vitg14 is NOT offered: the giant variant uses a SwiGLU
+    # FFN (mlp.w12/mlp.w3), a different block function than the fc1/fc2 MLP
+    # implemented here — silently converting it would be wrong.
 }
+
+
+def _cubic_kernel(x: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """torch's bicubic convolution kernel (a = -0.75)."""
+    ax = jnp.abs(x)
+    w1 = (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0
+    w2 = a * ax**3 - 5.0 * a * ax**2 + 8.0 * a * ax - 4.0 * a
+    return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+
+def _bicubic_matrix(n_out: int, n_in: int) -> jnp.ndarray:
+    """(n_out, n_in) row-stochastic matrix reproducing
+    `torch.nn.functional.interpolate(mode='bicubic', align_corners=False,
+    antialias=False)` exactly (the official DINOv2 interpolate_pos_encoding
+    settings): src = (i + 0.5) * in/out - 0.5, 4 taps around floor(src),
+    border-replicated indices."""
+    scale = n_in / n_out
+    src = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * scale - 0.5
+    base = jnp.floor(src)
+    taps = base[:, None] + jnp.arange(-1, 3, dtype=jnp.float32)[None, :]
+    wgt = _cubic_kernel(src[:, None] - taps)  # (n_out, 4)
+    idx = jnp.clip(taps, 0, n_in - 1).astype(jnp.int32)
+    mat = jnp.zeros((n_out, n_in), jnp.float32)
+    for k in range(4):
+        mat = mat.at[jnp.arange(n_out), idx[:, k]].add(wgt[:, k])
+    return mat
 
 
 class ViTBlock(nn.Module):
@@ -128,17 +156,18 @@ class DinoV2(BaseModel):
         self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
 
     def _interp_pos_embed(self, ph: int, pw: int) -> jnp.ndarray:
-        """Official `interpolate_pos_encoding`: bicubic resize of the patch
-        grid; the cls position passes through unchanged."""
+        """Official `interpolate_pos_encoding`: torch-exact bicubic resize
+        (a=-0.75, align_corners=False, no antialias — `_bicubic_matrix`) of
+        the patch grid; the cls position passes through unchanged."""
         cls_pos = self.pos_embed[:, :1]
         patch_pos = self.pos_embed[:, 1:]
         if ph == self.grid0 and pw == self.grid0:
             return cls_pos, patch_pos
         g = self.grid0
-        grid = patch_pos.reshape(1, g, g, self.embed_dim)
-        grid = jax.image.resize(
-            grid, (1, ph, pw, self.embed_dim), method="bicubic"
-        )
+        grid = patch_pos.reshape(g, g, self.embed_dim)
+        wy = _bicubic_matrix(ph, g)
+        wx = _bicubic_matrix(pw, g)
+        grid = jnp.einsum("oi,ijd,pj->opd", wy, grid, wx)
         return cls_pos, grid.reshape(1, ph * pw, self.embed_dim)
 
     def _forward(self, data: dict, train: bool = False) -> dict:
@@ -148,6 +177,16 @@ class DinoV2(BaseModel):
             image = jnp.tile(image, (1, 1, 1, 3))
         p = self.conf.patch_size
         ph, pw = (H // p), (W // p)
+        if self.conf.allow_resize and (H % p or W % p):
+            # reference :17-18: F.upsample(img, [h//14*14, w//14*14])
+            # (legacy 'nearest': src index = floor(dst * in/out))
+            iy = jnp.floor(
+                jnp.arange(ph * p, dtype=jnp.float32) * (H / (ph * p))
+            ).astype(jnp.int32)
+            ix = jnp.floor(
+                jnp.arange(pw * p, dtype=jnp.float32) * (W / (pw * p))
+            ).astype(jnp.int32)
+            image = image[:, iy][:, :, ix]
         x = self.patch_embed(image[:, : ph * p, : pw * p])
         x = x.reshape(B, ph * pw, self.embed_dim)
         cls_pos, patch_pos = self._interp_pos_embed(ph, pw)

@@ -126,9 +126,9 @@ class DeepLSDNet(nn.Module):
 
     @nn.compact
     def __call__(self, image):  # image (B, H, W, 1..3)
-        if image.shape[-1] != 1:
-            wgt = jnp.asarray([0.299, 0.587, 0.114], image.dtype)
-            image = (image * wgt).sum(-1, keepdims=True)
+        from ..extractors.superpoint import rgb_to_grayscale
+
+        image = rgb_to_grayscale(image)
         skips = []
         x = image
         for ch in self.channels:
@@ -183,15 +183,38 @@ def lines_from_fields_host(
     `cv2.HoughLinesP` on the thresholded DF, validated by the median DF and
     the AF agreement along the segment, deduplicated with a
     perpendicular-distance segment NMS, scored sqrt(length) * (1 - med_df)
-    and normalized to max 1 (as `lsd.py`)."""
-    import cv2
+    and normalized to max 1 (as `lsd.py`). Returned endpoints use the
+    COLMAP pixel-center convention (+0.5 on HoughLinesP's array indices).
 
+    All cv2 use is serialized behind CV2_LOCK and exceptions degrade to
+    "no lines" — the cv2-in-pure_callback protocol of `lsd.py`."""
     B, H, W = df.shape
     L = max_lines
     out_lines = np.zeros((B, L, 2, 2), np.float32)
     out_scores = np.zeros((B, L), np.float32)
     out_valid = np.zeros((B, L), bool)
+    try:
+        from ...utils.hostlock import CV2_LOCK
 
+        with CV2_LOCK:
+            _lines_from_fields_locked(
+                df, angle, L, min_length, df_thresh, angle_tol, d_max,
+                out_lines, out_scores, out_valid,
+            )
+    except Exception as e:  # pragma: no cover - defensive
+        import sys
+
+        print(f"[deeplsd] vectorization failed, no lines: {e}", file=sys.stderr)
+    return out_lines, out_scores, out_valid
+
+
+def _lines_from_fields_locked(
+    df, angle, L, min_length, df_thresh, angle_tol, d_max,
+    out_lines, out_scores, out_valid,
+):
+    import cv2
+
+    B, H, W = df.shape
     for bi in range(B):
         mask = (df[bi] < df_thresh).astype(np.uint8) * 255
         segs = cv2.HoughLinesP(
@@ -257,12 +280,12 @@ def lines_from_fields_host(
 
         n = len(kept)
         arr = np.asarray([[k[1], k[2], k[3], k[4]] for k in kept], np.float32)
-        out_lines[bi, :n, 0] = arr[:, :2]
-        out_lines[bi, :n, 1] = arr[:, 2:]
+        # Hough endpoints are array indices; +0.5 -> COLMAP pixel centers
+        out_lines[bi, :n, 0] = arr[:, :2] + 0.5
+        out_lines[bi, :n, 1] = arr[:, 2:] + 0.5
         scores = np.asarray([k[0] for k in kept], np.float32)
         out_scores[bi, :n] = scores / max(float(scores.max()), 1e-6)
         out_valid[bi, :n] = True
-    return out_lines, out_scores, out_valid
 
 
 # ---------------------------------------------------------------------------
@@ -278,6 +301,7 @@ class DeepLSD(BaseModel):
         "df_thresh": 0.45,
         "angle_tol": math.pi / 9,
         "d_max": 5.0,  # DF normalization radius (px)
+        "detect_in_train": False,  # also vectorize during training forwards
         "channels": [64, 128, 256],
         "trainable": True,
         # package backend only:
@@ -304,7 +328,7 @@ class DeepLSD(BaseModel):
         image = data["image"]
         df, angle = self.net(image)
         pred = {"df": df, "angle": angle}
-        if train and not self.conf.get("detect_in_train", False):
+        if train and not self.conf.detect_in_train:
             # training supervises the fields; vectorization is inference-only
             return pred
         B = image.shape[0]

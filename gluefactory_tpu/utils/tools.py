@@ -43,9 +43,7 @@ class FAverageMetric(AverageMetric):
     def update(self, values):
         values = np.atleast_1d(np.asarray(values, dtype=np.float64))
         self._elements.extend(values.tolist())
-        mask = ~np.isnan(values)
-        self._sum += float(values[mask].sum())
-        self._num += int(mask.sum())
+        super().update(values)
 
 
 class MedianMetric:

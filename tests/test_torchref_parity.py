@@ -822,3 +822,50 @@ def test_superpoint_open_forward_parity(monkeypatch):
     np.testing.assert_allclose(kpts[oi], ref_kpts[oj], atol=1e-4)
     np.testing.assert_allclose(scores[oi], ref_scores[oj], atol=1e-5)
     np.testing.assert_allclose(desc[oi], ref_desc[oj], atol=5e-4)
+
+
+def test_dinov2_pos_embed_interpolation_matches_torch():
+    """The pos-embed bicubic resize reproduces the official
+    interpolate_pos_encoding's torch op exactly:
+    F.interpolate(mode='bicubic', align_corners=False, antialias=False)."""
+    import torch.nn.functional as F
+
+    from gluefactory_tpu.models.backbones.dinov2 import _bicubic_matrix
+
+    rng = np.random.default_rng(3)
+    g, d = 7, 5
+    grid = rng.normal(size=(g, g, d)).astype(np.float32)
+    for ph, pw in ((3, 4), (10, 9), (7, 13)):
+        wy = np.asarray(_bicubic_matrix(ph, g))
+        wx = np.asarray(_bicubic_matrix(pw, g))
+        mine = np.einsum("oi,ijd,pj->opd", wy, grid, wx)
+        ref = F.interpolate(
+            torch.from_numpy(grid.transpose(2, 0, 1))[None],
+            size=(ph, pw),
+            mode="bicubic",
+            align_corners=False,
+            antialias=False,
+        )[0].permute(1, 2, 0).numpy()
+        np.testing.assert_allclose(mine, ref, atol=2e-5, err_msg=f"{ph}x{pw}")
+
+
+def test_dinov2_allow_resize_matches_torch_upsample():
+    """allow_resize reproduces the reference's F.upsample (legacy nearest)
+    image resize to /patch multiples (reference dinov2.py:17-18)."""
+    import torch.nn.functional as F
+
+    from gluefactory_tpu.models.backbones.dinov2 import DinoV2
+
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 1, (1, 31, 45, 3)).astype(np.float32)
+    p = 14
+    ph, pw = 31 // p, 45 // p
+    ref = F.upsample(
+        torch.from_numpy(img.transpose(0, 3, 1, 2)), [ph * p, pw * p]
+    ).numpy().transpose(0, 2, 3, 1)
+
+    iy = np.floor(np.arange(ph * p) * (31 / (ph * p))).astype(int)
+    ix = np.floor(np.arange(pw * p) * (45 / (pw * p))).astype(int)
+    mine = img[:, iy][:, :, ix]
+    np.testing.assert_array_equal(mine, ref)
+    del DinoV2  # imported to assert the model module stays importable
