@@ -366,3 +366,49 @@ class _MegaDepthItems:
 
     def sample_new_items_hook(self, seed):
         self.sample_new_items(seed)
+
+
+if __name__ == "__main__":
+    # dataset visualizer (reference datasets/megadepth.py:465-510); requires
+    # the MegaDepth data under DATA_PATH (zero-egress: no auto-download)
+    import argparse
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..core.config import from_dotlist, merge
+    from ..visualization.viz2d import plot_heatmaps, plot_image_grid
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--split", type=str, default="val")
+    parser.add_argument("--num_items", type=int, default=4)
+    parser.add_argument("--dpi", type=int, default=100)
+    parser.add_argument("--out", type=str, default="megadepth_samples.png")
+    parser.add_argument("dotlist", nargs="*")
+    args = parser.parse_intermixed_args()
+    conf = {
+        "min_overlap": 0.1,
+        "max_overlap": 0.7,
+        "num_overlap_bins": 3,
+        "sort_by_overlap": False,
+        "train_num_per_scene": 5,
+        "batch_size": 1,
+        "num_workers": 0,
+    }
+    conf = merge(conf, from_dotlist(args.dotlist))
+    dataset = MegaDepth(conf)
+    ds = dataset.get_dataset(args.split)
+    nviews = dataset.conf.views
+    images, depths = [], []
+    for i in range(min(args.num_items, len(ds))):
+        data = ds[i]
+        views = [data] if nviews == 1 else [data[f"view{v}"] for v in range(nviews)]
+        images.append([v["image"] for v in views])
+        depths.append([v["depth"] for v in views])
+    axes = plot_image_grid(images, dpi=args.dpi)
+    for i in range(len(images)):
+        plot_heatmaps(depths[i], axes=axes[i])
+    plt.savefig(args.out, dpi=args.dpi)
+    print(f"wrote {args.out}")

@@ -382,6 +382,8 @@ class DeepLSD(BaseModel):
             lengths = np.linalg.norm(segs[:, 1] - segs[:, 0], axis=-1)
             keep = lengths >= self.conf.min_length
             segs, lengths = segs[keep], lengths[keep]
+            if len(segs) == 0:
+                continue
             scores = np.sqrt(lengths)
             order = np.argsort(-scores)[:L]
             n = len(order)

@@ -223,7 +223,9 @@ class GlueStick(BaseModel):
                 x0_new = layer(x0, x1, mask0, mask1, train)
                 x1 = layer(x1, x0, mask1, mask0, train)
                 x0 = x0_new
-            if train and (i // 2) in self.inter_layers and i % 2 == 1:
+            if (i // 2) in self.inter_layers and i % 2 == 1:
+                # stashed in train for the aux loss and in eval for the
+                # inter-layer line metrics (reference gluestick.py:272-292)
                 inter_descs[i // 2] = (x0, x1)
 
         pred = {}
@@ -256,11 +258,15 @@ class GlueStick(BaseModel):
             if layer_idx not in inter_descs:
                 continue
             xi0, xi1 = inter_descs[layer_idx]
-            ls_i, *_ = self._line_matches(
+            ls_i, lm0_i, lm1_i, lms0_i, lms1_i, _ = self._line_matches(
                 xi0, xi1, junc_idx0, junc_idx1, lmask0, lmask1,
                 proj=self.inter_line_proj[j],
             )
             pred[f"line_{layer_idx}_log_assignment"] = ls_i
+            pred[f"line_{layer_idx}_matches0"] = lm0_i
+            pred[f"line_{layer_idx}_matches1"] = lm1_i
+            pred[f"line_{layer_idx}_matching_scores0"] = lms0_i
+            pred[f"line_{layer_idx}_matching_scores1"] = lms1_i
         return pred
 
     def _line_matches(self, x0, x1, junc_idx0, junc_idx1, lmask0, lmask1, proj=None):
@@ -331,7 +337,28 @@ class GlueStick(BaseModel):
                     )
                     losses[f"nll_lines_{layer_idx}"] = nll_i
                     total = total + c.loss.inter_supervision_weight * nll_i
-        from .lightglue import LightGlue
+        from ..metrics import matcher_metrics
 
-        metrics = LightGlue.matcher_metrics(pred, data)
+        # reference gluestick.py:440-460: point metrics, line metrics, and
+        # inter-layer line metrics (against the final line GT)
+        metrics = {}
+        if pred["matches0"].shape[1] > 0 and pred["matches1"].shape[1] > 0:
+            metrics.update(matcher_metrics(pred, data))
+        if (
+            "line_matches0" in pred
+            and "gt_line_matches0" in data
+            and data["lines0"].shape[1] > 0
+            and data["lines1"].shape[1] > 0
+        ):
+            metrics.update(matcher_metrics(pred, data, prefix="line_"))
+            for layer_idx in self.inter_layers:
+                if f"line_{layer_idx}_matches0" in pred:
+                    metrics.update(
+                        matcher_metrics(
+                            pred,
+                            data,
+                            prefix=f"line_{layer_idx}_",
+                            prefix_gt="line_",
+                        )
+                    )
         return {**losses, "total": total}, metrics

@@ -497,15 +497,8 @@ class LightGlue(BaseModel):
 
     @staticmethod
     def matcher_metrics(pred: dict, data: dict) -> dict:
-        """match_recall / match_precision vs GT."""
-        gt_m0 = data["gt_matches0"]
-        m0 = pred["matches0"]
-        pos = gt_m0 >= 0
-        predicted = m0 >= 0
-        correct = (m0 == gt_m0) & pos
-        recall = correct.sum(-1) / jnp.maximum(pos.sum(-1), 1)
-        okpred = (m0 == gt_m0) & predicted
-        # precision counts predicted matches that are GT-correct (ignores -2)
-        not_ignored = predicted & (gt_m0 != -2)
-        precision = okpred.sum(-1) / jnp.maximum(not_ignored.sum(-1), 1)
-        return {"match_recall": recall, "match_precision": precision}
+        """Reference-exact recall/precision/accuracy/ranking-AP
+        (`models/utils/metrics.py:5-51` via `models/metrics.py`)."""
+        from ..metrics import matcher_metrics
+
+        return matcher_metrics(pred, data)

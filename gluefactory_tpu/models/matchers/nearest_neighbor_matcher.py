@@ -88,4 +88,9 @@ class NearestNeighborMatcher(BaseModel):
             "num_matchable": num,
             "n_pair_temperature": jnp.asarray(self.temperature)[None],
         }
-        return losses, {}
+        # reference :96 computes matcher_metrics at eval; emitted whenever
+        # GT is available here (the train/val split happens in the loop)
+        from ..metrics import matcher_metrics
+
+        metrics = matcher_metrics(pred, data) if "gt_matches0" in data else {}
+        return losses, metrics

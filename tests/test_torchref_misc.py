@@ -154,3 +154,79 @@ def test_metric_accumulators_parity():
     mine = my_tools.AUCMetric([5, 10, 20], errs).compute()
     ref = ref_tools.AUCMetric([5, 10, 20], errs).compute()
     np.testing.assert_array_equal(np.asarray(mine), np.asarray(ref))
+
+
+def test_matcher_metrics_parity():
+    """`models/metrics.matcher_metrics` vs the EXECUTING reference
+    `models/utils/metrics.py:5-51` on random matches incl. -1/-2 labels."""
+    from gluefactory.models.utils.metrics import matcher_metrics as ref_metrics
+
+    from gluefactory_tpu.models.metrics import matcher_metrics
+
+    rng = np.random.default_rng(3)
+    B, N, M = 4, 37, 29
+    gt = rng.integers(-2, M, size=(B, N))
+    m = np.where(rng.uniform(size=(B, N)) < 0.3, -1, rng.integers(0, M, (B, N)))
+    # force some agreements so recall/precision are non-trivial
+    agree = rng.uniform(size=(B, N)) < 0.4
+    m = np.where(agree & (gt >= 0), gt, m)
+    scores = rng.uniform(size=(B, N)).astype(np.float32)
+
+    pred_t = {
+        "matches0": torch.from_numpy(m),
+        "matching_scores0": torch.from_numpy(scores),
+    }
+    data_t = {"gt_matches0": torch.from_numpy(gt)}
+    ref = ref_metrics(pred_t, data_t)
+
+    pred_j = {
+        "matches0": jnp.asarray(m),
+        "matching_scores0": jnp.asarray(scores),
+    }
+    data_j = {"gt_matches0": jnp.asarray(gt)}
+    mine = matcher_metrics(pred_j, data_j)
+
+    assert set(ref) == set(mine)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(mine[k]), ref[k].numpy(), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
+def test_matcher_metrics_prefix_and_padding_inert():
+    from gluefactory_tpu.models.metrics import matcher_metrics
+
+    rng = np.random.default_rng(0)
+    B, N, M, P = 2, 20, 15, 8
+    gt = rng.integers(-2, M, size=(B, N))
+    m = rng.integers(-1, M, size=(B, N))
+    scores = rng.uniform(size=(B, N)).astype(np.float32)
+    base = matcher_metrics(
+        {"line_matches0": jnp.asarray(m), "line_matching_scores0": jnp.asarray(scores)},
+        {"gt_line_matches0": jnp.asarray(gt)},
+        prefix="line_",
+    )
+    assert set(base) == {
+        "line_match_recall",
+        "line_match_precision",
+        "line_accuracy",
+        "line_average_precision",
+    }
+    # appending padded slots (-2 GT ignore, -1 prediction, score 0) must not
+    # change any metric
+    gt_p = np.concatenate([gt, np.full((B, P), -2)], axis=1)
+    m_p = np.concatenate([m, np.full((B, P), -1)], axis=1)
+    s_p = np.concatenate([scores, np.zeros((B, P), np.float32)], axis=1)
+    padded = matcher_metrics(
+        {
+            "line_matches0": jnp.asarray(m_p),
+            "line_matching_scores0": jnp.asarray(s_p),
+        },
+        {"gt_line_matches0": jnp.asarray(gt_p)},
+        prefix="line_",
+    )
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(base[k]), np.asarray(padded[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k,
+        )
