@@ -211,5 +211,5 @@ class DinoV2(BaseModel):
             "descriptors": x[:, n_prefix:],
         }
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError

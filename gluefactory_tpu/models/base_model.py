@@ -84,9 +84,14 @@ class BaseModel(nn.Module):
 
     def forward_with_loss(self, data: dict, train: bool = True):
         """Single-apply forward + loss (the training step's entry point —
-        one `model.apply` keeps forward and loss in the same jit graph)."""
+        one `model.apply` keeps forward and loss in the same jit graph).
+
+        `train` is threaded into `loss` so models can reproduce the
+        reference's `self.training` gating (deep supervision / confidence
+        terms on, matcher_metrics off — reference lightglue.py:592-625,
+        gluestick.py:441)."""
         pred = self(data, train=train)
-        losses, metrics = self.loss(pred, data)
+        losses, metrics = self.loss(pred, data, train=train)
         return pred, losses, metrics
 
     def initialize(self, data: dict) -> dict:
@@ -103,8 +108,11 @@ class BaseModel(nn.Module):
             pass
         return pred
 
-    def loss(self, pred: dict, data: dict):
-        """Return (losses, metrics): dicts of (B,) arrays, total under 'total'."""
+    def loss(self, pred: dict, data: dict, train: bool = False):
+        """Return (losses, metrics): dicts of (B,) arrays, total under 'total'.
+
+        `train=True` reproduces the reference's `self.training` semantics
+        (extra loss terms on, metrics off); `train=False` the eval ones."""
         raise NotImplementedError
 
     @property

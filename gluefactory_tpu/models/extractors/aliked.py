@@ -376,5 +376,5 @@ class ALIKED(BaseModel):
             "score_map": score_map,
         }
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError

@@ -114,5 +114,5 @@ class DISK(BaseModel):
             "dense_descriptors": desc_map,
         }
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError

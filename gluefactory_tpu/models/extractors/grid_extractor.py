@@ -30,5 +30,5 @@ class GridExtractor(BaseModel):
         }
         return pred
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError

@@ -256,5 +256,5 @@ class KeyNetAffNetHardNet(BaseModel):
             "keypoint_mask": valid,
         }
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError("eval-only, as in the reference wrapper")

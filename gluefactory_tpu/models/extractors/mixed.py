@@ -44,14 +44,14 @@ class MixedExtractor(BaseModel):
                 )
         return pred
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         losses, metrics = {}, {}
         total = 0
         for comp in ("detector", "descriptor"):
             model = getattr(self, f"{comp}_model")
             if model is not None and model.is_trainable:
                 try:
-                    losses_c, metrics_c = model.loss(pred, data)
+                    losses_c, metrics_c = model.loss(pred, data, train=train)
                 except NotImplementedError:
                     continue
                 losses.update(losses_c)

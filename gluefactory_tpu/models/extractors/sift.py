@@ -200,5 +200,5 @@ class SIFT(BaseModel):
             "keypoint_mask": valid,
         }
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError

@@ -340,5 +340,5 @@ class SuperPoint(BaseModel):
             pred["dense_score_map"] = scores
         return pred
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError("SuperPoint is used frozen; training it is out of scope")

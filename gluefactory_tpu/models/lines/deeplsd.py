@@ -411,7 +411,7 @@ class DeepLSD(BaseModel):
             return self._forward_native(data, train)
         return self._forward_package(data)
 
-    def loss(self, pred: dict, data: dict):
+    def loss(self, pred: dict, data: dict, train: bool = False):
         """Field supervision from any line source in the batch (e.g. the
         LSD pseudo-labels of `data.detect_lines`): GT DF/AF derive on-device
         via `fields_from_lines`."""

@@ -105,5 +105,5 @@ class LSD(BaseModel):
         )
         return {"lines": lines, "line_scores": scores, "line_mask": valid}
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError

@@ -282,5 +282,5 @@ class WireframeExtractor(BaseModel):
             "orig_lines": orig_lines,
         }
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError

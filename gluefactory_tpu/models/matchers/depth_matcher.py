@@ -73,5 +73,5 @@ class DepthMatcher(BaseModel):
             result["gt_line_assignment"] = lout["assignment"]
         return result
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError

@@ -135,8 +135,9 @@ class GlueStick(BaseModel):
         "loss": {
             "nll_weight": 1.0,
             "nll_balancing": 0.5,
-            "line_nll_weight": 1.0,
-            "inter_supervision_weight": 0.5,
+            # per-inter-layer loss weights, indexed by the layer's position
+            # in `inter_supervision` (reference gluestick.py:42,378-383)
+            "inter_supervision": [0.3, 0.6],
         },
     }
     required_data_keys = [
@@ -292,73 +293,108 @@ class GlueStick(BaseModel):
 
     # ------------------------------------------------------------------
 
-    def _nll(self, scores, gt_assignment, gt_m0, gt_m1):
-        M, N = gt_assignment.shape[1], gt_assignment.shape[2]
-        gt = gt_assignment.astype(scores.dtype)
-        num_pos = jnp.maximum(gt.sum((-1, -2)), 1.0)
-        nll_pos = -(scores[:, :M, :N] * gt).sum((-1, -2)) / num_pos
-        neg0 = (gt_m0 == -1).astype(scores.dtype)
-        neg1 = (gt_m1 == -1).astype(scores.dtype)
-        num_neg = jnp.maximum(neg0.sum(-1) + neg1.sum(-1), 1.0)
-        nll_neg = -(
-            (scores[:, :M, N] * neg0).sum(-1) + (scores[:, M, :N] * neg1).sum(-1)
-        ) / num_neg
-        b = self.conf.loss.nll_balancing
-        return b * nll_pos + (1.0 - b) * nll_neg
+    def _sub_loss(self, losses, la, data, bin_score, prefix="", layer=-1, mask=None):
+        """One sub-assignment's NLL + stats, reference-exact
+        (`gluestick.py:378-416` sub_loss): loss key
+        ``{prefix}{layer_}assignment_nll``, contribution to total =
+        ``nll * nll_weight * layer_weight`` where the inter-layer weight
+        comes from the ``loss.inter_supervision`` list; the stats
+        (`num_matchable`, `num_unmatchable`, `sinkhorn_norm`, `bin_score`)
+        are only emitted for the final (layer == -1) sub-assignments."""
+        from ..losses import masked_row_norm, nll_components
 
-    def loss(self, pred: dict, data: dict):
         c = self.conf
-        nll_pts = self._nll(
-            pred["log_assignment"],
-            data["gt_assignment"],
-            data["gt_matches0"],
-            data["gt_matches1"],
+        line_suffix = "" if layer == -1 else f"{layer}_"
+        if layer == -1:
+            layer_weight = 1.0
+        else:
+            layer_weight = c.loss.inter_supervision[self.inter_layers.index(layer)]
+        nll_pos, nll_neg, num_pos, num_neg = nll_components(
+            la,
+            data[f"gt_{prefix}assignment"],
+            data[f"gt_{prefix}matches0"],
+            data[f"gt_{prefix}matches1"],
+            per_side_clamp=False,
         )
-        total = c.loss.nll_weight * nll_pts
-        losses = {"nll_points": nll_pts}
-        if "gt_line_assignment" in data:
-            nll_lines = self._nll(
-                pred["line_log_assignment"],
-                data["gt_line_assignment"],
-                data["gt_line_matches0"],
-                data["gt_line_matches1"],
-            )
-            losses["nll_lines"] = nll_lines
-            total = total + c.loss.line_nll_weight * nll_lines
-            # inter-layer line supervision (reference gluestick.py:272-292)
-            for layer_idx in self.inter_layers:
-                key = f"line_{layer_idx}_log_assignment"
-                if key in pred:
-                    nll_i = self._nll(
-                        pred[key],
-                        data["gt_line_assignment"],
-                        data["gt_line_matches0"],
-                        data["gt_line_matches1"],
-                    )
-                    losses[f"nll_lines_{layer_idx}"] = nll_i
-                    total = total + c.loss.inter_supervision_weight * nll_i
-        from ..metrics import matcher_metrics
+        nll = c.loss.nll_balancing * nll_pos + (1.0 - c.loss.nll_balancing) * nll_neg
+        losses[prefix + line_suffix + "assignment_nll"] = nll
+        contribution = 0.0
+        if c.loss.nll_weight > 0:
+            contribution = nll * c.loss.nll_weight * layer_weight
+        if line_suffix == "":
+            B = la.shape[0]
+            losses[prefix + "num_matchable"] = num_pos
+            losses[prefix + "num_unmatchable"] = num_neg
+            losses[prefix + "sinkhorn_norm"] = masked_row_norm(la, mask)
+            losses[prefix + "bin_score"] = jnp.broadcast_to(bin_score[None], (B,))
+        return contribution
 
-        # reference gluestick.py:440-460: point metrics, line metrics, and
-        # inter-layer line metrics (against the final line GT)
-        metrics = {}
+    def loss(self, pred: dict, data: dict, train: bool = False):
+        """Reference-exact GlueStick loss (`gluestick.py:417-462`): point +
+        line + inter-layer-line NLL sub-losses with their diagnostics;
+        matcher metrics (points, lines, inter-layer lines) only at eval
+        (reference gates on ``not self.training``)."""
+        losses = {}
+        total = 0.0
         if pred["matches0"].shape[1] > 0 and pred["matches1"].shape[1] > 0:
-            metrics.update(matcher_metrics(pred, data))
+            total = total + self._sub_loss(
+                losses,
+                pred["log_assignment"],
+                data,
+                self.bin_score,
+                prefix="",
+                mask=data.get("keypoint_mask0"),
+            )
         if (
-            "line_matches0" in pred
-            and "gt_line_matches0" in data
+            "gt_line_assignment" in data
             and data["lines0"].shape[1] > 0
             and data["lines1"].shape[1] > 0
         ):
-            metrics.update(matcher_metrics(pred, data, prefix="line_"))
+            total = total + self._sub_loss(
+                losses,
+                pred["line_log_assignment"],
+                data,
+                self.line_bin_score,
+                prefix="line_",
+                mask=data.get("line_mask0"),
+            )
+            # inter-layer line supervision (reference gluestick.py:434-438)
             for layer_idx in self.inter_layers:
-                if f"line_{layer_idx}_matches0" in pred:
-                    metrics.update(
-                        matcher_metrics(
-                            pred,
-                            data,
-                            prefix=f"line_{layer_idx}_",
-                            prefix_gt="line_",
-                        )
+                key = f"line_{layer_idx}_log_assignment"
+                if key in pred:
+                    total = total + self._sub_loss(
+                        losses,
+                        pred[key],
+                        data,
+                        self.line_bin_score,
+                        prefix="line_",
+                        layer=layer_idx,
                     )
-        return {**losses, "total": total}, metrics
+        losses["total"] = total
+
+        metrics = {}
+        if not train:
+            from ..metrics import matcher_metrics
+
+            # reference gluestick.py:440-460: point metrics, line metrics,
+            # and inter-layer line metrics (against the final line GT)
+            if pred["matches0"].shape[1] > 0 and pred["matches1"].shape[1] > 0:
+                metrics.update(matcher_metrics(pred, data))
+            if (
+                "line_matches0" in pred
+                and "gt_line_matches0" in data
+                and data["lines0"].shape[1] > 0
+                and data["lines1"].shape[1] > 0
+            ):
+                metrics.update(matcher_metrics(pred, data, prefix="line_"))
+                for layer_idx in self.inter_layers:
+                    if f"line_{layer_idx}_matches0" in pred:
+                        metrics.update(
+                            matcher_metrics(
+                                pred,
+                                data,
+                                prefix=f"line_{layer_idx}_",
+                                prefix_gt="line_",
+                            )
+                        )
+        return losses, metrics

@@ -66,5 +66,5 @@ class HomographyMatcher(BaseModel):
             result["gt_line_assignment"] = lout["assignment"]
         return result
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError

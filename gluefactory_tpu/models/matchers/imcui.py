@@ -148,5 +148,5 @@ class IMCUIMatcher(BaseModel):
         np_pred = convert_imcui_pred(imcui_pred, self.conf.max_num_matches)
         return {k: jnp.asarray(v) for k, v in np_pred.items()}
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError("IMCUIMatcher is eval-only")

@@ -26,5 +26,5 @@ class LoFTRMatcher(BaseModel):
     def _forward(self, data, train: bool = False):
         raise NotImplementedError("host inference hook — requires kornia")
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError

@@ -407,28 +407,39 @@ class LightGlue(BaseModel):
     # Loss: deep supervision (reference lightglue.py:578-627)
     # ------------------------------------------------------------------
     def _nll(self, log_assignment, data):
-        """Balanced NLL of a (B, M+1, N+1) log assignment vs GT
-        (reference NLLLoss, lightglue.py:44-80)."""
-        gt_assignment = data["gt_assignment"].astype(log_assignment.dtype)
-        gt_m0 = data["gt_matches0"]
-        gt_m1 = data["gt_matches1"]
-        M = gt_assignment.shape[1]
-        N = gt_assignment.shape[2]
-        inner = log_assignment[:, :M, :N]
-        num_pos = jnp.maximum(gt_assignment.sum((-1, -2)), 1.0)
-        nll_pos = -(inner * gt_assignment).sum((-1, -2)) / num_pos
-        neg0 = (gt_m0 == -1).astype(log_assignment.dtype)
-        neg1 = (gt_m1 == -1).astype(log_assignment.dtype)
-        num_neg = jnp.maximum(neg0.sum(-1) + neg1.sum(-1), 1.0)
-        nll_neg0 = -(log_assignment[:, :M, N] * neg0).sum(-1)
-        nll_neg1 = -(log_assignment[:, M, :N] * neg1).sum(-1)
-        nll_neg = (nll_neg0 + nll_neg1) / num_neg
-        b = self.conf.loss.nll_balancing
-        return b * nll_pos + (1.0 - b) * nll_neg
+        """Balanced NLL of a (B, M+1, N+1) log assignment vs GT plus its
+        components (reference NLLLoss / weight_loss, losses.py:6-60 —
+        per-side clamping of the negative counts)."""
+        from ..losses import nll_components
 
-    def loss(self, pred: dict, data: dict):
+        nll_pos, nll_neg, num_pos, num_neg = nll_components(
+            log_assignment,
+            data["gt_assignment"],
+            data["gt_matches0"],
+            data["gt_matches1"],
+            per_side_clamp=True,
+        )
+        b = self.conf.loss.nll_balancing
+        nll = b * nll_pos + (1.0 - b) * nll_neg
+        return nll, nll_pos, nll_neg, num_pos, num_neg
+
+    def loss(self, pred: dict, data: dict, train: bool = False):
+        """Reference-exact loss (lightglue.py:578-625).
+
+        train=True (reference ``self.training``): deep supervision over all
+        intermediate layers — weight ``gamma ** (L-i-1)`` whenever
+        ``gamma > 0`` (the shipped default gamma=1.0 gives every layer
+        weight 1), ``i + 1`` otherwise — normalized by the weight sum, plus
+        the token-confidence BCE; metrics skipped.
+
+        train=False: the reference stashes only the final layer's
+        descriptors at eval (lightglue.py:485-487), so its loss reduces to
+        the final-layer NLL with no deep supervision or confidence term, and
+        ``matcher_metrics`` are computed (lightglue.py:622-625).
+        """
+        from ..losses import masked_row_norm
+
         c = self.conf
-        L = c.n_layers
         mask0 = data.get("keypoint_mask0")
         mask1 = data.get("keypoint_mask1")
 
@@ -438,62 +449,72 @@ class LightGlue(BaseModel):
             scores, _, _, _ = self.log_assignment[i](d0, d1, mask0, mask1)
             return scores
 
-        final_scores = layer_scores(L - 1)
-        nll_final = self._nll(final_scores, data)
-        losses = {"assignment_nll": nll_final}
+        nll_final, nll_pos, nll_neg, num_pos, num_neg = self._nll(
+            pred["log_assignment"], data
+        )
+        losses = {
+            "total": nll_final,
+            "last": jax.lax.stop_gradient(nll_final),
+            "assignment_nll": nll_final,
+            "nll_pos": nll_pos,
+            "nll_neg": nll_neg,
+            "num_matchable": num_pos,
+            "num_unmatchable": num_neg,
+            "row_norm": masked_row_norm(pred["log_assignment"], mask0),
+        }
+
+        if not train:
+            return losses, self.matcher_metrics(pred, data)
+
+        L = pred["ref_descriptors0"].shape[1]
+        final_scores = pred["log_assignment"]
+        # full-row/-column argmax incl. the dustbin (reference
+        # TokenConfidence.loss, lightglue.py:81-94)
+        final_m0 = jnp.argmax(final_scores[:, :-1, :], axis=-1)
+        final_m1 = jnp.argmax(final_scores[:, :, :-1], axis=1)
         total = nll_final
         sum_weights = 1.0
-
-        if c.loss.gamma > 0.0:
-            inner_f = final_scores[:, :-1, :-1]
-            final_m0 = jnp.argmax(
-                jnp.concatenate([inner_f, final_scores[:, :-1, -1:]], axis=-1), axis=-1
+        confidence_loss = 0.0
+        for i in range(L - 1):
+            scores_i = layer_scores(i)
+            nll_i, _, _, _, _ = self._nll(scores_i, data)
+            # reference lightglue.py:601-604: gamma**(N-i-1) whenever
+            # gamma > 0 (shipped default 1.0 => all-ones), else i+1
+            if c.loss.gamma > 0.0:
+                weight = c.loss.gamma ** (L - i - 1)
+            else:
+                weight = float(i + 1)
+            total = total + nll_i * weight
+            sum_weights += weight
+            # token confidence BCE: predict whether this layer's match
+            # equals the final one (reference lightglue.py:81-94)
+            m0_i = jnp.argmax(scores_i[:, :-1, :], axis=-1)
+            m1_i = jnp.argmax(scores_i[:, :, :-1], axis=1)
+            correct0 = (m0_i == final_m0).astype(jnp.float32)
+            correct1 = (m1_i == final_m1).astype(jnp.float32)
+            l0, l1 = self.token_confidence[i](
+                jax.lax.stop_gradient(pred["ref_descriptors0"][:, i]),
+                jax.lax.stop_gradient(pred["ref_descriptors1"][:, i]),
+                return_logits=True,
             )
-            final_m1 = jnp.argmax(
-                jnp.concatenate([inner_f, final_scores[:, -1:, :-1]], axis=1), axis=1
-            )
-            confidence_loss = 0.0
-            for i in range(L - 1):
-                scores_i = layer_scores(i)
-                nll_i = self._nll(scores_i, data)
-                weight = (
-                    c.loss.gamma ** (L - i - 1) if c.loss.gamma > 1.0 else float(i + 1)
-                )
-                total = total + nll_i * weight
-                sum_weights += weight
-                # token confidence BCE: predict whether this layer's match
-                # equals the final one (reference lightglue.py:81-94)
-                inner_i = scores_i[:, :-1, :-1]
-                m0_i = jnp.argmax(
-                    jnp.concatenate([inner_i, scores_i[:, :-1, -1:]], axis=-1), axis=-1
-                )
-                m1_i = jnp.argmax(
-                    jnp.concatenate([inner_i, scores_i[:, -1:, :-1]], axis=1), axis=1
-                )
-                correct0 = (m0_i == final_m0).astype(jnp.float32)
-                correct1 = (m1_i == final_m1).astype(jnp.float32)
-                l0, l1 = self.token_confidence[i](
-                    jax.lax.stop_gradient(pred["ref_descriptors0"][:, i]),
-                    jax.lax.stop_gradient(pred["ref_descriptors1"][:, i]),
-                    return_logits=True,
-                )
-                # stable logit-space BCE in fp32: log(sigmoid(l) + eps) in
-                # bf16 underflows (eps rounds to 0) and produced NaNs
-                bce0 = jnp.clip(l0, 0) - l0 * correct0 + jnp.log1p(jnp.exp(-jnp.abs(l0)))
-                bce1 = jnp.clip(l1, 0) - l1 * correct1 + jnp.log1p(jnp.exp(-jnp.abs(l1)))
-                if mask0 is not None:
-                    bce0 = (bce0 * mask0).sum(-1) / jnp.maximum(mask0.sum(-1), 1)
-                else:
-                    bce0 = bce0.mean(-1)
-                if mask1 is not None:
-                    bce1 = (bce1 * mask1).sum(-1) / jnp.maximum(mask1.sum(-1), 1)
-                else:
-                    bce1 = bce1.mean(-1)
-                confidence_loss = confidence_loss + (bce0 + bce1) / 2.0
-            total = total / sum_weights
-            total = total + c.loss.confidence_weight * confidence_loss / max(L - 1, 1)
-        metrics = self.matcher_metrics(pred, data)
-        return {"total": total, "assignment_nll_final": nll_final}, metrics
+            # stable logit-space BCE in fp32: log(sigmoid(l) + eps) in
+            # bf16 underflows (eps rounds to 0) and produced NaNs
+            bce0 = jnp.clip(l0, 0) - l0 * correct0 + jnp.log1p(jnp.exp(-jnp.abs(l0)))
+            bce1 = jnp.clip(l1, 0) - l1 * correct1 + jnp.log1p(jnp.exp(-jnp.abs(l1)))
+            if mask0 is not None:
+                bce0 = (bce0 * mask0).sum(-1) / jnp.maximum(mask0.sum(-1), 1)
+            else:
+                bce0 = bce0.mean(-1)
+            if mask1 is not None:
+                bce1 = (bce1 * mask1).sum(-1) / jnp.maximum(mask1.sum(-1), 1)
+            else:
+                bce1 = bce1.mean(-1)
+            confidence_loss = confidence_loss + (bce0 + bce1) / 2.0
+        total = total / sum_weights
+        losses["confidence"] = confidence_loss / max(L - 1, 1)
+        total = total + c.loss.confidence_weight * losses["confidence"]
+        losses["total"] = total
+        return losses, {}
 
     @staticmethod
     def matcher_metrics(pred: dict, data: dict) -> dict:

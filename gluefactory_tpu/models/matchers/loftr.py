@@ -273,5 +273,5 @@ class LoFTR(BaseModel):
             "matching_scores1": scoresm,
         }
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError("native LoFTR is eval-only (as in the reference)")

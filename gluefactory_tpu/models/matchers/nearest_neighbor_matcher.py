@@ -65,7 +65,7 @@ class NearestNeighborMatcher(BaseModel):
             "log_assignment": la,
         }
 
-    def loss(self, pred: dict, data: dict):
+    def loss(self, pred: dict, data: dict, train: bool = False):
         """N-pair contrastive loss, reference-exact
         (`nearest_neighbor_matcher.py:74-97`): distance-derived scores
         `temperature * (2 - sqrt(clamp(2(1-sim), 1e-6)))`, dual log-softmax,
@@ -88,9 +88,11 @@ class NearestNeighborMatcher(BaseModel):
             "num_matchable": num,
             "n_pair_temperature": jnp.asarray(self.temperature)[None],
         }
-        # reference :96 computes matcher_metrics at eval; emitted whenever
-        # GT is available here (the train/val split happens in the loop)
+        # reference :96 computes matcher_metrics only at eval
+        # (`not self.training`) — skipping them in the jitted train step
+        # keeps ranking-AP argsort/cumsum out of the hot path
+        if train or "gt_matches0" not in data:
+            return losses, {}
         from ..metrics import matcher_metrics
 
-        metrics = matcher_metrics(pred, data) if "gt_matches0" in data else {}
-        return losses, metrics
+        return losses, matcher_metrics(pred, data)

@@ -372,5 +372,5 @@ class RoMa(BaseModel):
             )
         return pred
 
-    def loss(self, pred, data):
+    def loss(self, pred, data, train: bool = False):
         raise NotImplementedError("RoMa is eval-only (reference roma.py:443)")

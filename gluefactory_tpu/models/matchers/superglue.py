@@ -149,23 +149,36 @@ class SuperGlue(BaseModel):
             "matching_scores1": ms1,
         }
 
-    def loss(self, pred: dict, data: dict):
-        """NLL on the transport plan (reference `superglue.py:322-352`)."""
+    def loss(self, pred: dict, data: dict, train: bool = False):
+        """NLL on the transport plan (reference `superglue.py:322-352`):
+        clamp-the-sum negative counts, plus the reference's training-health
+        diagnostics (`nll_pos/neg`, `num_matchable/unmatchable`,
+        `bin_score`)."""
+        from ..losses import nll_components
+
         scores = pred["log_assignment"]
-        gt_ass = data["gt_assignment"].astype(scores.dtype)
-        gt_m0, gt_m1 = data["gt_matches0"], data["gt_matches1"]
-        M, N = gt_ass.shape[1], gt_ass.shape[2]
-        num_pos = jnp.maximum(gt_ass.sum((-1, -2)), 1.0)
-        nll_pos = -(scores[:, :M, :N] * gt_ass).sum((-1, -2)) / num_pos
-        neg0 = (gt_m0 == -1).astype(scores.dtype)
-        neg1 = (gt_m1 == -1).astype(scores.dtype)
-        num_neg = jnp.maximum(neg0.sum(-1) + neg1.sum(-1), 1.0)
-        nll_neg = -(
-            (scores[:, :M, N] * neg0).sum(-1) + (scores[:, M, :N] * neg1).sum(-1)
-        ) / num_neg
+        nll_pos, nll_neg, num_pos, num_neg = nll_components(
+            scores,
+            data["gt_assignment"],
+            data["gt_matches0"],
+            data["gt_matches1"],
+            per_side_clamp=False,
+        )
         b = self.conf.loss.nll_balancing
-        total = b * nll_pos + (1.0 - b) * nll_neg
+        nll = b * nll_pos + (1.0 - b) * nll_neg
+        B = scores.shape[0]
+        losses = {
+            "total": nll,
+            "assignment_nll": nll,
+            "nll_pos": nll_pos,
+            "nll_neg": nll_neg,
+            "num_matchable": num_pos,
+            "num_unmatchable": num_neg,
+            "bin_score": jnp.broadcast_to(self.bin_score[None], (B,)),
+        }
+        if train:
+            return losses, {}
         from .lightglue import LightGlue
 
         metrics = LightGlue.matcher_metrics(pred, data)
-        return {"total": total, "nll_pos": nll_pos, "nll_neg": nll_neg}, metrics
+        return losses, metrics

@@ -66,7 +66,7 @@ class TripletPipeline(TwoViewPipeline):
             pred.update({f"{k}_{idx}": v for k, v in p.items()})
         return pred
 
-    def loss(self, pred: dict, data: dict, train: bool = True):
+    def loss(self, pred: dict, data: dict, train: bool = False):
         """Sum of per-pair two-view losses."""
         import jax.numpy as jnp
 
@@ -95,7 +95,9 @@ class TripletPipeline(TwoViewPipeline):
                 pair_pred = {**pair_pred, **gt}
             matcher = self.component("matcher")
             if matcher is not None and matcher.is_trainable:
-                losses_i, metrics_i = matcher.loss(pair_pred, {**pair_pred, **pair_data})
+                losses_i, metrics_i = matcher.loss(
+                    pair_pred, {**pair_pred, **pair_data}, train=train
+                )
                 total = total + losses_i["total"]
                 all_losses.update({f"{k}_{idx}": v for k, v in losses_i.items() if k != "total"})
                 all_metrics.update({f"{k}_{idx}": v for k, v in metrics_i.items()})

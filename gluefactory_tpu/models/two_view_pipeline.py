@@ -143,7 +143,7 @@ class TwoViewPipeline(BaseModel):
             pred = {**pred, **self.component("ground_truth")({**data, **pred})}
         return pred
 
-    def loss(self, pred: dict, data: dict, train: bool = True):
+    def loss(self, pred: dict, data: dict, train: bool = False):
         losses = {}
         metrics = {}
         total = 0
@@ -157,7 +157,7 @@ class TwoViewPipeline(BaseModel):
             if model is None or not model.is_trainable:
                 continue
             try:
-                losses_c, metrics_c = model.loss(pred, {**pred, **data})
+                losses_c, metrics_c = model.loss(pred, {**pred, **data}, train=train)
             except NotImplementedError:
                 continue
             losses.update({f"{comp}_{k}" if k != "total" else k: v for k, v in losses_c.items() if k != "total"})

@@ -49,7 +49,13 @@ from .utils.experiments import (
     update_best_checkpoint,
 )
 from .utils.retry import retry_transient
-from .utils.tools import AverageMetric, MedianMetric, RecallMetric, set_seed
+from .utils.tools import (
+    AverageMetric,
+    MedianMetric,
+    PRMetric,
+    RecallMetric,
+    set_seed,
+)
 from .utils.tensor import map_tensor
 
 default_train_conf = {
@@ -68,6 +74,11 @@ default_train_conf = {
     "load_experiment": None,  # warm start from another experiment
     "median_metrics": [],
     "recall_metrics": {},
+    # PR curves over per-element predictions collected during validation:
+    # {name: {labels: <pred key>, predictions: <pred key>, mask: <pred key>}}
+    # (reference train.py:66,71 `pr_metrics`/`pr_curves` + :96-101 accumulation)
+    "pr_curves": {},
+    "pr_metrics": {},  # declared by the reference conf surface (vestigial there too)
     "best_key": "loss/total",
     "dataset_callback_fn": None,  # e.g. "sample_new_items" (MegaDepth)
     "dataset_callback_on_val": False,
@@ -409,32 +420,55 @@ def apply_device_augment(batch, rng, device_augment):
     return {**{k: v for k, v in batch.items() if k != "source_image"}, **gen}
 
 
-def make_eval_step(model, device_augment=None):
+def make_eval_step(model, device_augment=None, pr_curves=None):
+    """Validation step: eval-mode loss + metrics (`train=False` — reference
+    `do_evaluation` runs under `model.eval()`), plus the per-element
+    (labels, predictions, mask) slices requested by `conf.train.pr_curves`
+    (reference train.py:96-101) so PR accumulation stays off-device."""
+
     def eval_step(variables, batch, rng):
         if device_augment and "source_image" in batch:
             batch = apply_device_augment(batch, jax.random.fold_in(rng, 7), device_augment)
         outs, _ = model.apply(
             variables,
             batch,
+            train=False,
             method="forward_with_loss",
             mutable=["batch_stats"],
             rngs={"sample": rng},
         )
         pred, losses, metrics = outs
-        return losses, metrics
+        pr_slices = {}
+        for name, spec in (pr_curves or {}).items():
+            pr_slices[name] = (
+                pred[spec["labels"]],
+                pred[spec["predictions"]],
+                pred[spec["mask"]] if "mask" in spec else None,
+            )
+        return losses, metrics, pr_slices
 
     return eval_step
 
 
 def do_evaluation(eval_step_fn, variables, loader, conf, mesh, rng, max_iters=None):
-    """Validation loop with streaming accumulators (reference `train.py:78-122`)."""
+    """Validation loop with streaming accumulators (reference `train.py:78-122`).
+
+    Returns `(results, pr_metrics)` where `pr_metrics[name]` is the
+    `(labels, predictions)` arrays accumulated by a `PRMetric`."""
     results = defaultdict(list)
     accums = {}
+    pr_accums = defaultdict(PRMetric)
     for i, batch in enumerate(loader):
         if max_iters is not None and i >= max_iters:
             break
         batch = shard_batch(strip_non_arrays(prepare_batch(batch)), mesh)
-        losses, metrics = eval_step_fn(variables, batch, rng)
+        losses, metrics, pr_slices = eval_step_fn(variables, batch, rng)
+        for name, (labels, predictions, mask) in pr_slices.items():
+            pr_accums[name].update(
+                np.asarray(labels),
+                np.asarray(predictions),
+                mask=np.asarray(mask) if mask is not None else None,
+            )
         numbers = {
             **{f"loss/{k}": np.asarray(v) for k, v in losses.items()},
             **{k: np.asarray(v) for k, v in metrics.items()},
@@ -452,7 +486,10 @@ def do_evaluation(eval_step_fn, variables, loader, conf, mesh, rng, max_iters=No
             accums[k].update(v)
             if k + "_median" in accums:
                 accums[k + "_median"].update(v)
-    return {k: m.compute() for k, m in accums.items()}
+    return (
+        {k: m.compute() for k, m in accums.items()},
+        {k: m.compute() for k, m in pr_accums.items()},
+    )
 
 
 def training(conf: Config, output_dir: Path, args):
@@ -545,7 +582,13 @@ def training(conf: Config, output_dir: Path, args):
         train_step = jax.jit(make_multi_step(base_step, k_steps))
     else:
         train_step = jax.jit(base_step)
-    eval_step = jax.jit(make_eval_step(model, conf.train.device_augment))
+    eval_step = jax.jit(
+        make_eval_step(
+            model,
+            conf.train.device_augment,
+            pr_curves=(conf.train.pr_curves or {}),
+        )
+    )
 
     # save resolved conf + a source snapshot for reproducibility
     # (role of reference train.py:723-726 module-source snapshotting)
@@ -638,7 +681,7 @@ def training(conf: Config, output_dir: Path, args):
                     total_iter % conf.train.eval_every_iter == 0 and total_iter > 0
                 ) or it == len(train_loader) - 1
                 if do_eval:
-                    results = do_evaluation(
+                    results, pr_results = do_evaluation(
                         eval_step, variables, val_loader, conf.train, mesh, rng_key,
                         max_iters=args.max_val_iters,
                     )
@@ -650,6 +693,13 @@ def training(conf: Config, output_dir: Path, args):
                         for k, v in results.items():
                             if np.isscalar(v):
                                 writer.add_scalar(f"val/{k}", float(v), total_iter)
+                        # PR curves (reference train.py:589 writes the
+                        # accumulated (labels, predictions) tuples)
+                        for k, (labels, predictions) in pr_results.items():
+                            if len(labels):
+                                writer.add_pr_curve(
+                                    f"val/{k}", labels, predictions, total_iter
+                                )
                     # train-time figure hook (reference conf `plot:` entries)
                     if conf.train.plot and writer:
                         import pydoc

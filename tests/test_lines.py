@@ -237,7 +237,7 @@ def test_gluestick_inter_supervision():
     pred, _ = gs.apply(variables, data, train=True, mutable=["batch_stats"])
     assert "line_1_log_assignment" in pred
     losses, _ = gs.apply(variables, pred, data, method="loss")
-    assert "nll_lines_1" in losses
+    assert "line_1_assignment_nll" in losses
     assert np.isfinite(np.asarray(losses["total"])).all()
 
 

@@ -70,5 +70,12 @@ def test_superglue_overfits_synthetic():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.6, losses[::8]
+    # matcher_metrics are train-gated (reference: eval-only) — read them
+    # from an eval-mode forward+loss pass
+    outs, _ = sg.apply(
+        variables, data, train=False, method="forward_with_loss",
+        mutable=["batch_stats"],
+    )
+    _, _, metrics = outs
     recall = float(np.asarray(metrics["match_recall"]).mean())
     assert recall > 0.3, recall

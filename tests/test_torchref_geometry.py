@@ -9,6 +9,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.torchref
+
 from torchref import load_reference  # noqa: E402
 
 load_reference()

@@ -115,8 +115,16 @@ def test_overfit_loss_decreases(tiny_conf, tmp_path):
     # bands are ~50% slack to absorb library-version jitter)
     assert 3.0 < losses_hist[0] < 6.5, losses_hist[0]
     assert losses_hist[-1] < 1.6, losses_hist[-5:]
-    assert float(metrics["match_recall"]) > 0.55, metrics
-    assert float(metrics["match_precision"]) > 0.5, metrics
+    # matcher_metrics are gated out of the jitted train step (reference
+    # computes them under `not self.training` only) — read them from an
+    # eval-mode pass
+    from gluefactory_tpu.train import make_eval_step
+
+    eval_losses, metrics, _ = jax.jit(make_eval_step(model))(
+        variables, batch_dev, jax.random.key(99)
+    )
+    assert float(np.asarray(metrics["match_recall"]).mean()) > 0.55, metrics
+    assert float(np.asarray(metrics["match_precision"]).mean()) > 0.5, metrics
 
 
 def test_multi_step_dispatch(tiny_conf, tmp_path):
