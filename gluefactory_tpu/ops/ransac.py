@@ -138,24 +138,75 @@ def _triangulate_depths(R, t, p0, p1):
     return z0, z1
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
-def ransac_essential(p0, p1, valid, th: float, rng, n_iters: int = 1024):
-    """8-point essential RANSAC over normalized image coords.
+def _essential_8pt_weighted(p0, p1, w):
+    """Weighted 8-point (DLT) refit over ALL points with weights w (N,):
+    the LO step — a least-squares fit on the current inlier set, projected
+    onto the essential manifold."""
+    x0, y0 = p0[..., 0], p0[..., 1]
+    x1, y1 = p1[..., 0], p1[..., 1]
+    ones = jnp.ones_like(x0)
+    A = jnp.stack(
+        [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, ones], axis=-1
+    )  # (N, 9)
+    AtA = jnp.einsum("ni,n,nj->ij", A, w, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    E = vecs[:, 0].reshape(3, 3)
+    U, s, Vt = jnp.linalg.svd(E)
+    S = jnp.zeros_like(E).at[0, 0].set(1.0).at[1, 1].set(1.0)
+    return U @ S @ Vt
+
+
+@partial(jax.jit, static_argnames=("n_iters", "solver"))
+def ransac_essential(
+    p0, p1, valid, th: float, rng, n_iters: int = 1024, solver: str = "5pt"
+):
+    """Essential-matrix RANSAC over normalized image coords.
+
+    Minimal hypotheses come from the 5-point solver by default (up to 10
+    candidate E per sample — the reference's cv2/poselib/pycolmap backends
+    are all 5-point, `relative_pose/opencv.py:31-40`; at inlier ratio r the
+    all-inlier sample probability is r^5 vs r^8), with ``solver="8pt"``
+    keeping the old behavior. Local optimization is a weighted 8-point
+    refit on the best hypothesis's inliers either way.
 
     p0/p1 (N, 2) normalized coords, valid (N,), th in normalized units.
     Returns dict with E, R, t (cheirality-resolved), inliers, num_inliers.
     """
     n = p0.shape[0]
-    idx = _sample_minimal_sets(rng, n_iters, 8, n, valid)
-    E_hyp = _essential_8pt(p0[idx], p1[idx])  # (I, 3, 3)
+    if solver == "5pt":
+        from .essential5 import essential_5pt
+
+        idx = _sample_minimal_sets(rng, n_iters, 5, n, valid)
+        E_hyp = essential_5pt(p0[idx], p1[idx])  # (I, 10, 3, 3)
+        E_hyp = E_hyp.reshape(-1, 3, 3)  # (10 I, 3, 3)
+    else:
+        idx = _sample_minimal_sets(rng, n_iters, 8, n, valid)
+        E_hyp = _essential_8pt(p0[idx], p1[idx])  # (I, 3, 3)
+    finite = jnp.isfinite(E_hyp).all(axis=(-1, -2))
+    E_hyp = jnp.where(finite[:, None, None], E_hyp, 0.0)
     res = jax.vmap(_epipolar_residuals, in_axes=(0, None, None))(E_hyp, p0, p1)
     th2 = th * th
     inl = (res < th2) & valid[None, :]
-    finite = jnp.isfinite(E_hyp).all(axis=(-1, -2))
     counts = jnp.where(finite, inl.sum(-1), -1)
     best = jnp.argmax(counts)
     E_best = E_hyp[best]
     inliers = inl[best]
+
+    # local optimization: weighted 8-point refit on the inliers (2 rounds),
+    # kept only when it does not lose consensus
+    def refit(E, _):
+        w = ((_epipolar_residuals(E, p0, p1) < th2) & valid).astype(jnp.float32)
+        E_new = _essential_8pt_weighted(p0, p1, w)
+        new_inl = (_epipolar_residuals(E_new, p0, p1) < th2) & valid
+        ok = (
+            jnp.isfinite(E_new).all()
+            & (w.sum() >= 8)
+            & (new_inl.sum() >= ((_epipolar_residuals(E, p0, p1) < th2) & valid).sum())
+        )
+        return jnp.where(ok, E_new, E), None
+
+    E_best, _ = jax.lax.scan(refit, E_best, None, length=2)
+    inliers = (_epipolar_residuals(E_best, p0, p1) < th2) & valid
 
     # decompose into 4 candidates, pick by cheirality over inliers
     U, _, Vt = jnp.linalg.svd(E_best)
@@ -183,7 +234,7 @@ def ransac_essential(p0, p1, valid, th: float, rng, n_iters: int = 1024):
         "t": t_best,
         "inliers": inliers,
         "num_inliers": num,
-        "success": num >= 8,
+        "success": num >= (5 if solver == "5pt" else 8),
     }
 
 

@@ -1,6 +1,9 @@
 """In-repo native LO-RANSAC relative-pose estimator — fills the reference's
 PoseLib slot (`robust_estimators/relative_pose/poselib.py:9-44`) with our own
-C++ implementation (`native/fastransac.cpp`)."""
+C++ implementation (`native/fastransac.cpp`): 5-point minimal hypotheses
+(hidden-variable solver — same sample size as the real PoseLib/cv2 backends),
+MSAC scoring with adaptive 99.9%-confidence termination, weighted 8-point LO
+refit, cheirality-resolved decomposition."""
 
 from __future__ import annotations
 
@@ -19,7 +22,7 @@ class PoseLibRelativePoseEstimator(BaseEstimator):
         kpts1 = np.asarray(data["m_kpts1"], np.float64)
         camera0 = data["camera0"]
         camera1 = data["camera1"]
-        if len(kpts0) < 8:
+        if len(kpts0) < 5:
             return {
                 "success": False,
                 "M_0to1": Pose.identity(),
@@ -35,7 +38,7 @@ class PoseLibRelativePoseEstimator(BaseEstimator):
             max_iters=self.conf.options.max_iterations, seed=self.conf.seed,
         )
         return {
-            "success": num >= 8,
+            "success": num >= 5,
             "M_0to1": Pose.from_Rt(R.astype(np.float32), t.astype(np.float32)),
             "inliers": inliers,
         }

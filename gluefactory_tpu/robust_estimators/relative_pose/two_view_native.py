@@ -88,7 +88,8 @@ def _cheirality_count(R, t, p0, p1):
 class NativeTwoViewEstimator(BaseEstimator):
     default_conf = {
         "ransac_th": 4.0,  # px, matching pycolmap's default max_error
-        "n_iters": 2048,
+        "solver": "5pt",  # COLMAP's E hypotheses are 5-point too
+        "n_iters": 512,
         "seed": 0,
         # COLMAP TwoViewGeometryOptions defaults
         "min_num_inliers": 15,
@@ -118,7 +119,8 @@ class NativeTwoViewEstimator(BaseEstimator):
 
         p0n, p1n, valid, n = bucket_pad(n0, n1)
         e_out = ransac_essential(
-            p0n, p1n, valid, norm_th, key, n_iters=int(self.conf.n_iters)
+            p0n, p1n, valid, norm_th, key,
+            n_iters=int(self.conf.n_iters), solver=str(self.conf.solver),
         )
         e_inl = np.asarray(e_out["inliers"])[:n]
         e_ninl = int(e_inl.sum())

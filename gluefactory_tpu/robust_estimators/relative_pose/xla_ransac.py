@@ -2,8 +2,8 @@
 
 Replaces the reference's PoseLib/pycolmap relative-pose wrappers
 (`robust_estimators/relative_pose/{poselib,pycolmap}.py`) with the
-8-point hypothesize-score pipeline + cheirality-resolved decomposition in
-`ops/ransac.py`.
+5-point hypothesize-score pipeline (+ 8-point LO refit) and
+cheirality-resolved decomposition in `ops/ransac.py`.
 """
 
 from __future__ import annotations
@@ -20,7 +20,11 @@ from ..homography.xla_ransac import bucket_pad
 class XLARelativePoseEstimator(BaseEstimator):
     default_conf = {
         "ransac_th": 1.0,  # pixels
-        "n_iters": 2048,
+        # 5-point minimal solver (reference parity: cv2/poselib/pycolmap all
+        # hypothesize from 5 pts) yields up to 10 candidate E per sample, so
+        # fewer samples cover more hypotheses; "8pt" restores the old path.
+        "solver": "5pt",
+        "n_iters": 512,
         "seed": 0,
     }
 
@@ -29,7 +33,8 @@ class XLARelativePoseEstimator(BaseEstimator):
         kpts1 = np.asarray(data["m_kpts1"], np.float32)
         camera0 = data["camera0"]
         camera1 = data["camera1"]
-        if len(kpts0) < 8:
+        min_pts = 5 if self.conf.solver == "5pt" else 8
+        if len(kpts0) < min_pts:
             return {
                 "success": False,
                 "M_0to1": Pose.identity(),
@@ -45,6 +50,7 @@ class XLARelativePoseEstimator(BaseEstimator):
         out = ransac_essential(
             p0, p1, valid, norm_th, jax.random.key(self.conf.seed),
             n_iters=int(self.conf.n_iters),
+            solver=str(self.conf.solver),
         )
         R = np.asarray(out["R"], np.float32)
         t = np.asarray(out["t"], np.float32)

@@ -78,54 +78,273 @@ void smallest_eigvec(double* AtA, int n, double* out) {
   for (int k = 0; k < n; k++) out[k] = vecs[k * n + imin];
 }
 
-// 3x3 SVD via eigen decomposition of M^T M and M M^T.
+// 3x3 SVD: V from the eigen decomposition of M^T M, then U = M V / S.
+// Deriving U from M v_c (rather than an independent eigen decomposition of
+// M M^T) is essential for correctness with REPEATED singular values — an
+// essential matrix always has spectrum {s, s, 0}, where eigenvectors of
+// M M^T and M^T M in the repeated subspace are individually arbitrary and
+// would not correspond, silently corrupting U S V^T != M (and hence every
+// recovered rotation). The M v_c images are automatically orthogonal
+// because (M v_i)·(M v_j) = λ_j v_i·v_j = 0.
 void svd3(const double* M, double* U, double* S, double* Vt) {
-  double MtM[9], MMt[9];
+  double MtM[9];
   for (int i = 0; i < 3; i++)
     for (int j = 0; j < 3; j++) {
-      double a = 0, b = 0;
-      for (int k = 0; k < 3; k++) {
-        a += M[k * 3 + i] * M[k * 3 + j];
-        b += M[i * 3 + k] * M[j * 3 + k];
-      }
+      double a = 0;
+      for (int k = 0; k < 3; k++) a += M[k * 3 + i] * M[k * 3 + j];
       MtM[i * 3 + j] = a;
-      MMt[i * 3 + j] = b;
     }
-  double valsV[3], vecsV[9], valsU[3], vecsU[9];
+  double valsV[3], vecsV[9];
   double tmp[9];
   std::memcpy(tmp, MtM, sizeof(tmp));
   jacobi_eigen(tmp, 3, valsV, vecsV);
-  std::memcpy(tmp, MMt, sizeof(tmp));
-  jacobi_eigen(tmp, 3, valsU, vecsU);
-  // sort descending
-  int idxV[3] = {0, 1, 2}, idxU[3] = {0, 1, 2};
+  int idxV[3] = {0, 1, 2};
   std::sort(idxV, idxV + 3, [&](int a, int b) { return valsV[a] > valsV[b]; });
-  std::sort(idxU, idxU + 3, [&](int a, int b) { return valsU[a] > valsU[b]; });
+  double u[3][3];
   for (int c = 0; c < 3; c++) {
-    S[c] = std::sqrt(std::max(valsV[idxV[c]], 0.0));
-    for (int r = 0; r < 3; r++) {
-      Vt[c * 3 + r] = vecsV[r * 3 + idxV[c]];
-      U[r * 3 + c] = vecsU[r * 3 + idxU[c]];
-    }
-  }
-  // fix signs so that M ≈ U S Vt
-  for (int c = 0; c < 3; c++) {
-    // compute (M v_c) . u_c
-    double dot = 0;
+    for (int r = 0; r < 3; r++) Vt[c * 3 + r] = vecsV[r * 3 + idxV[c]];
+    double w[3];
     for (int r = 0; r < 3; r++) {
       double mv = 0;
       for (int k = 0; k < 3; k++) mv += M[r * 3 + k] * Vt[c * 3 + k];
-      dot += mv * U[r * 3 + c];
+      w[r] = mv;
     }
-    if (dot < 0)
-      for (int r = 0; r < 3; r++) U[r * 3 + c] = -U[r * 3 + c];
+    S[c] = std::sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]);
+    if (S[c] > 1e-12) {
+      for (int r = 0; r < 3; r++) u[c][r] = w[r] / S[c];
+    } else if (c == 2) {
+      // null direction: cross product of the first two left vectors
+      u[2][0] = u[0][1] * u[1][2] - u[0][2] * u[1][1];
+      u[2][1] = u[0][2] * u[1][0] - u[0][0] * u[1][2];
+      u[2][2] = u[0][0] * u[1][1] - u[0][1] * u[1][0];
+    } else {
+      // degenerate beyond rank 2: any unit vector orthogonal to previous
+      double v0[3] = {1, 0, 0};
+      if (c == 1) {
+        double d = u[0][0];
+        for (int r = 0; r < 3; r++) v0[r] -= d * u[0][r];
+        double nn = std::sqrt(v0[0] * v0[0] + v0[1] * v0[1] + v0[2] * v0[2]);
+        if (nn < 1e-12) { v0[0] = 0; v0[1] = 1; v0[2] = 0; nn = 1; }
+        for (int r = 0; r < 3; r++) v0[r] /= nn;
+      }
+      for (int r = 0; r < 3; r++) u[c][r] = v0[r];
+    }
   }
+  for (int c = 0; c < 3; c++)
+    for (int r = 0; r < 3; r++) U[r * 3 + c] = u[c][r];
 }
 
 double det3(const double* M) {
   return M[0] * (M[4] * M[8] - M[5] * M[7]) -
          M[1] * (M[3] * M[8] - M[5] * M[6]) +
          M[2] * (M[3] * M[7] - M[4] * M[6]);
+}
+
+// ----------------------------------------------------------------------
+// 5-point essential minimal solver (Li–Hartley hidden variable — the same
+// formulation as the batched XLA solver in gluefactory_tpu/ops/essential5.py:
+// expand det(E)=0 and 2EE^T E - tr(EE^T)E = 0 over E = xB1+yB2+zB3+B4,
+// regroup as a 10x10 matrix polynomial M(z) over the (x,y)-monomials, find
+// the real roots of det M(z) by sign-scan + bisection, and read (x,y) from
+// the null vector of M(z)). Fills the 5-point slot of the reference's
+// poselib/cv2/pycolmap backends (reference relative_pose/opencv.py:31-40).
+// ----------------------------------------------------------------------
+
+// polynomials in (x, y, z) with exponents <= 3, dense over a 4x4x4 cube
+struct Poly {
+  double c[64];  // index = ex*16 + ey*4 + ez
+  Poly() { std::memset(c, 0, sizeof(c)); }
+};
+
+inline Poly pmul(const Poly& a, const Poly& b) {
+  Poly out;
+  for (int i = 0; i < 64; i++) {
+    if (a.c[i] == 0.0) continue;
+    int ex = i >> 4, ey = (i >> 2) & 3, ez = i & 3;
+    for (int j = 0; j < 64; j++) {
+      if (b.c[j] == 0.0) continue;
+      int fx = j >> 4, fy = (j >> 2) & 3, fz = j & 3;
+      out.c[(ex + fx) * 16 + (ey + fy) * 4 + (ez + fz)] += a.c[i] * b.c[j];
+    }
+  }
+  return out;
+}
+
+inline void padd(Poly& a, const Poly& b, double s) {
+  for (int i = 0; i < 64; i++) a.c[i] += s * b.c[i];
+}
+
+// det sign of a 10x10 via partial-pivot LU (A destroyed)
+inline int lu_sign10(double* A) {
+  int sign = 1;
+  for (int k = 0; k < 10; k++) {
+    int piv = k;
+    for (int r = k + 1; r < 10; r++)
+      if (std::fabs(A[r * 10 + k]) > std::fabs(A[piv * 10 + k])) piv = r;
+    if (std::fabs(A[piv * 10 + k]) < 1e-300) return 0;
+    if (piv != k) {
+      for (int c = 0; c < 10; c++) std::swap(A[k * 10 + c], A[piv * 10 + c]);
+      sign = -sign;
+    }
+    if (A[k * 10 + k] < 0) sign = -sign;
+    for (int r = k + 1; r < 10; r++) {
+      double f = A[r * 10 + k] / A[k * 10 + k];
+      for (int c = k; c < 10; c++) A[r * 10 + c] -= f * A[k * 10 + c];
+    }
+  }
+  return sign;
+}
+
+struct FivePointTables {
+  double M0[100], M1[100], M2[100], M3[100];  // z-degree slices of M(z)
+};
+
+inline void eval_Mz(const FivePointTables& T, double z, double* Mz) {
+  for (int i = 0; i < 100; i++)
+    Mz[i] = T.M0[i] + z * (T.M1[i] + z * (T.M2[i] + z * T.M3[i]));
+}
+
+inline int detsign_Mz(const FivePointTables& T, double z) {
+  double Mz[100];
+  eval_Mz(T, z, Mz);
+  return lu_sign10(Mz);
+}
+
+// returns the number of candidate essential matrices written to E_out
+// (each 9 doubles, row major, up to 10)
+int essential_5pt(const double* p0, const double* p1, const int64_t* idx,
+                  double* E_out) {
+  // nullspace basis of the 5x9 epipolar system: 4 smallest eigvecs of AtA
+  double AtA[81];
+  std::memset(AtA, 0, sizeof(AtA));
+  for (int k = 0; k < 5; k++) {
+    int64_t i = idx[k];
+    double x0 = p0[2 * i], y0 = p0[2 * i + 1];
+    double x1 = p1[2 * i], y1 = p1[2 * i + 1];
+    double row[9] = {x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, 1.0};
+    for (int a = 0; a < 9; a++)
+      for (int b = 0; b < 9; b++) AtA[a * 9 + b] += row[a] * row[b];
+  }
+  double vals[9], vecs[81];
+  jacobi_eigen(AtA, 9, vals, vecs);
+  int order[9];
+  for (int i = 0; i < 9; i++) order[i] = i;
+  std::sort(order, order + 9, [&](int a, int b) { return vals[a] < vals[b]; });
+  double basis[4][9];  // B1..B4
+  for (int k = 0; k < 4; k++)
+    for (int r = 0; r < 9; r++) basis[k][r] = vecs[r * 9 + order[k]];
+
+  // E entries as degree-1 polynomials: E = x B1 + y B2 + z B3 + B4
+  Poly E[3][3];
+  const int var_idx[4] = {1 * 16, 1 * 4, 1, 0};  // x, y, z, 1
+  for (int r = 0; r < 3; r++)
+    for (int c = 0; c < 3; c++)
+      for (int k = 0; k < 4; k++) E[r][c].c[var_idx[k]] = basis[k][r * 3 + c];
+
+  Poly constraints[10];
+  // det(E)
+  {
+    Poly m01 = pmul(E[1][1], E[2][2]); padd(m01, pmul(E[1][2], E[2][1]), -1.0);
+    Poly m11 = pmul(E[1][0], E[2][2]); padd(m11, pmul(E[1][2], E[2][0]), -1.0);
+    Poly m21 = pmul(E[1][0], E[2][1]); padd(m21, pmul(E[1][1], E[2][0]), -1.0);
+    Poly d = pmul(E[0][0], m01);
+    padd(d, pmul(E[0][1], m11), -1.0);
+    padd(d, pmul(E[0][2], m21), 1.0);
+    constraints[0] = d;
+  }
+  // EE^T and its trace
+  Poly EEt[3][3];
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) {
+      Poly s = pmul(E[i][0], E[j][0]);
+      padd(s, pmul(E[i][1], E[j][1]), 1.0);
+      padd(s, pmul(E[i][2], E[j][2]), 1.0);
+      EEt[i][j] = s;
+    }
+  Poly tr = EEt[0][0];
+  padd(tr, EEt[1][1], 1.0);
+  padd(tr, EEt[2][2], 1.0);
+  // 2 EE^T E - tr(EE^T) E = 0
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) {
+      Poly acc = pmul(EEt[i][0], E[0][j]);
+      padd(acc, pmul(EEt[i][1], E[1][j]), 1.0);
+      padd(acc, pmul(EEt[i][2], E[2][j]), 1.0);
+      for (int m = 0; m < 64; m++) acc.c[m] *= 2.0;
+      padd(acc, pmul(tr, E[i][j]), -1.0);
+      constraints[1 + i * 3 + j] = acc;
+    }
+
+  // z-degree slices over the (x,y)-monomial columns
+  static const int XY[10][2] = {{3, 0}, {2, 1}, {1, 2}, {0, 3}, {2, 0},
+                                {1, 1}, {0, 2}, {1, 0}, {0, 1}, {0, 0}};
+  FivePointTables T;
+  for (int r = 0; r < 10; r++) {
+    // row normalization for conditioning (constraints are homogeneous)
+    double nrm = 0;
+    for (int m = 0; m < 64; m++) nrm += constraints[r].c[m] * constraints[r].c[m];
+    nrm = std::sqrt(nrm) + 1e-300;
+    for (int c = 0; c < 10; c++) {
+      int mx = XY[c][0], my = XY[c][1];
+      T.M0[r * 10 + c] = constraints[r].c[mx * 16 + my * 4 + 0] / nrm;
+      T.M1[r * 10 + c] = constraints[r].c[mx * 16 + my * 4 + 1] / nrm;
+      T.M2[r * 10 + c] = constraints[r].c[mx * 16 + my * 4 + 2] / nrm;
+      T.M3[r * 10 + c] = constraints[r].c[mx * 16 + my * 4 + 3] / nrm;
+    }
+  }
+
+  // real roots of det M(z): sign scan on a tan-warped grid + bisection
+  const int GRID = 512;
+  const double EPS = 1e-3;
+  int n_roots = 0;
+  double prev_theta = -M_PI / 2 + EPS;
+  int prev_sign = detsign_Mz(T, std::tan(prev_theta));
+  for (int g = 1; g < GRID && n_roots < 10; g++) {
+    double theta = -M_PI / 2 + EPS +
+                   (M_PI - 2 * EPS) * (double)g / (double)(GRID - 1);
+    int s = detsign_Mz(T, std::tan(theta));
+    if (s * prev_sign <= 0 && prev_sign != 0) {
+      double lo = prev_theta, hi = theta;
+      for (int b = 0; b < 60; b++) {
+        double mid = 0.5 * (lo + hi);
+        int sm = detsign_Mz(T, std::tan(mid));
+        if (sm == prev_sign)
+          lo = mid;
+        else
+          hi = mid;
+      }
+      double z = std::tan(0.5 * (lo + hi));
+      // null vector of M(z) via smallest eigvec of M^T M
+      double Mz[100];
+      eval_Mz(T, z, Mz);
+      double MtM[100];
+      for (int a = 0; a < 10; a++)
+        for (int b = 0; b < 10; b++) {
+          double acc = 0;
+          for (int k = 0; k < 10; k++) acc += Mz[k * 10 + a] * Mz[k * 10 + b];
+          MtM[a * 10 + b] = acc;
+        }
+      double v[10];
+      smallest_eigvec(MtM, 10, v);
+      double w = v[9];
+      if (std::fabs(w) > 1e-12) {
+        double x = v[7] / w, y = v[8] / w;
+        double* Ec = E_out + 9 * n_roots;
+        double nrm = 0;
+        for (int m = 0; m < 9; m++) {
+          Ec[m] = x * basis[0][m] + y * basis[1][m] + z * basis[2][m] +
+                  basis[3][m];
+          nrm += Ec[m] * Ec[m];
+        }
+        nrm = std::sqrt(nrm) + 1e-300;
+        for (int m = 0; m < 9; m++) Ec[m] /= nrm;
+        n_roots++;
+      }
+    }
+    prev_sign = s != 0 ? s : prev_sign;
+    prev_theta = theta;
+  }
+  return n_roots;
 }
 
 // ----------------------------------------------------------------------
@@ -301,12 +520,15 @@ int64_t ransac_homography_cpp(const double* p0, const double* p1, int64_t n,
   return num;
 }
 
-// 8-point essential RANSAC over normalized coords; returns num inliers.
+// Essential RANSAC over normalized coords: 5-point minimal hypotheses
+// (hidden-variable solver above — matching the reference's cv2/poselib/
+// pycolmap 5-point backends), MSAC scoring, weighted 8-point LO refit,
+// cheirality-resolved decomposition. Returns num inliers.
 // R_out (9), t_out (3), inliers (n).
 int64_t ransac_essential_cpp(const double* p0, const double* p1, int64_t n,
                              double th, int64_t max_iters, uint64_t seed,
                              double* R_out, double* t_out, uint8_t* inliers) {
-  if (n < 8) return 0;
+  if (n < 5) return 0;
   std::mt19937_64 rng(seed);
   std::uniform_int_distribution<int64_t> uni(0, n - 1);
   const double th2 = th * th;
@@ -350,9 +572,13 @@ int64_t ransac_essential_cpp(const double* p0, const double* p1, int64_t n,
 
   double best_score = -1.0;
   double best_E[9] = {0, 0, 0, 0, 0, 1, 0, -1, 0};
-  for (int64_t it = 0; it < max_iters; it++) {
-    int64_t idx[8];
-    for (int k = 0; k < 8; k++) {
+  // adaptive termination at 99.9% confidence (standard RANSAC stopping:
+  // enough samples that an all-inlier 5-tuple was drawn w.h.p.)
+  int64_t needed_iters = max_iters;
+  const double kLogOneMinusConf = std::log(1e-3);
+  for (int64_t it = 0; it < max_iters && it < needed_iters; it++) {
+    int64_t idx[5];
+    for (int k = 0; k < 5; k++) {
       bool dup = true;
       while (dup) {
         idx[k] = uni(rng);
@@ -360,14 +586,25 @@ int64_t ransac_essential_cpp(const double* p0, const double* p1, int64_t n,
         for (int j = 0; j < k; j++) dup |= (idx[j] == idx[k]);
       }
     }
-    double E[9];
-    solve_E(idx, 8, nullptr, E);
-    double score = 0;
-    for (int64_t i = 0; i < n; i++)
-      score += std::max(0.0, 1.0 - epi_err2(E, i) / th2);
-    if (score > best_score) {
-      best_score = score;
-      std::memcpy(best_E, E, sizeof(best_E));
+    double E_cands[90];
+    int n_cands = essential_5pt(p0, p1, idx, E_cands);
+    for (int c = 0; c < n_cands; c++) {
+      const double* E = E_cands + 9 * c;
+      double score = 0;
+      for (int64_t i = 0; i < n; i++)
+        score += std::max(0.0, 1.0 - epi_err2(E, i) / th2);
+      if (score > best_score) {
+        best_score = score;
+        std::memcpy(best_E, E, sizeof(best_E));
+        int64_t cnt = 0;
+        for (int64_t i = 0; i < n; i++) cnt += epi_err2(E, i) < th2;
+        double w = (double)cnt / (double)n;
+        double p_good = std::pow(w, 5);
+        if (p_good > 1e-12) {
+          double denom = std::log(std::max(1.0 - p_good, 1e-12));
+          needed_iters = (int64_t)std::ceil(kLogOneMinusConf / denom);
+        }
+      }
     }
   }
 
