@@ -727,3 +727,162 @@ CONVERTERS["aliked"] = convert_aliked
 CONVERTERS["hardnet"] = convert_hardnet
 CONVERTERS["dinov2"] = convert_dinov2
 CONVERTERS["superpoint_open"] = convert_superpoint_open
+
+
+# ---------------------------------------------------------------------------
+# DeepLSD (official deeplsd_md.tar, `ckpt["model"]` of
+# deeplsd.models.deeplsd_inference.DeepLSD — loaded by the reference at
+# models/lines/deeplsd.py:30-43)
+# ---------------------------------------------------------------------------
+
+
+def convert_deeplsd(sd: dict) -> tuple:
+    """Official DeepLSD checkpoint -> (params, batch_stats, spec) for
+    `models/lines/deeplsd.DeepLSDPackageNet` (`backend: package-layout`).
+
+    The mapping is ORDER- and SHAPE-driven rather than name-driven: torch
+    state dicts preserve module-definition order, so each of the three
+    sections (``backbone`` / ``df_head`` / ``angle_head``) is walked as an
+    ordered sequence of conv / batch-norm submodules (a submodule = the keys
+    sharing a prefix up to the last component; convs have a 4-D ``weight``,
+    BNs a ``running_mean``). Backbone sub-blocks are the depth-2 prefixes in
+    first-appearance order; a block whose first conv consumes more channels
+    than the previous block produced is a decoder block (skip
+    concatenation). The block widths found are returned as ``spec`` so the
+    flax module can be instantiated to match; shape mismatches raise with
+    the offending key. ConvTranspose upsampling (weight (in, out, 2, 2)) is
+    detected and rejected explicitly — the package-layout net assumes
+    bilinear upsampling.
+    """
+    sd = strip_prefixes(sd)
+    sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+
+    # group into torch submodules, insertion-ordered
+    modules: dict = {}
+    for k, v in sd.items():
+        mod, leaf = k.rsplit(".", 1)
+        modules.setdefault(mod, {})[leaf] = np.asarray(v)
+
+    def classify(mod, leaves):
+        if "running_mean" in leaves:
+            return "bn"
+        w = leaves.get("weight")
+        if w is not None and w.ndim == 4:
+            if w.shape[2:] == (2, 2) and w.shape[0] > w.shape[1]:
+                raise ValueError(
+                    f"{mod}: ConvTranspose upsampling found — the "
+                    "package-layout net assumes bilinear; extend "
+                    "DeepLSDPackageNet before converting this checkpoint"
+                )
+            return "conv"
+        raise ValueError(f"unrecognized DeepLSD submodule {mod}: {sorted(leaves)}")
+
+    sections: dict = {"backbone": [], "df_head": [], "angle_head": []}
+    for mod, leaves in modules.items():
+        top = mod.split(".")[0]
+        if top not in sections:
+            raise ValueError(f"unexpected DeepLSD top-level module: {mod}")
+        sections[top].append((mod, classify(mod, leaves), leaves))
+
+    def conv_params(leaves):
+        p = {"kernel": _conv(leaves["weight"])}
+        if "bias" in leaves:
+            p["bias"] = np.asarray(leaves["bias"])
+        return p
+
+    def bn_split(leaves):
+        return (
+            {"scale": np.asarray(leaves["weight"]), "bias": np.asarray(leaves["bias"])},
+            {"mean": np.asarray(leaves["running_mean"]), "var": np.asarray(leaves["running_var"])},
+        )
+
+    # ---- backbone: depth-2 prefix blocks, conv/bn pairs in order
+    blocks: list = []  # [(block_name, [(conv_leaves, bn_leaves|None), ...])]
+    for mod, kind, leaves in sections["backbone"]:
+        blk = ".".join(mod.split(".")[:2])
+        if not blocks or blocks[-1][0] != blk:
+            blocks.append((blk, []))
+        if kind == "conv":
+            blocks[-1][1].append([leaves, None])
+        else:  # bn attaches to the last conv of the block
+            if not blocks[-1][1] or blocks[-1][1][-1][1] is not None:
+                raise ValueError(f"BN without preceding conv in {mod}")
+            blocks[-1][1][-1][1] = leaves
+
+    enc_spec: list = []
+    dec_spec: list = []
+    params: dict = {}
+    stats: dict = {}
+    prev_out = None
+    enc_outs: list = []  # encoder block output widths (skip sources)
+    in_decoder = False
+    for name, convs in blocks:
+        first_in = convs[0][0]["weight"].shape[1]
+        is_gray_input = prev_out is None
+        if not is_gray_input and (in_decoder or first_in != prev_out):
+            in_decoder = True
+            skip_ch = (
+                enc_outs[-(len(dec_spec) + 2)]
+                if len(dec_spec) + 2 <= len(enc_outs)
+                else None
+            )
+            if skip_ch is None or first_in != prev_out + skip_ch:
+                raise ValueError(
+                    f"{name}: first conv consumes {first_in} channels; "
+                    f"expected {prev_out} + skip — unsupported topology"
+                )
+        widths = []
+        bi = len(dec_spec) if in_decoder else len(enc_spec)
+        prefix = f"dec{bi}" if in_decoder else f"enc{bi}"
+        for ci, (cl, bl) in enumerate(convs):
+            if bl is None:
+                raise ValueError(f"{name} conv {ci}: missing BatchNorm")
+            params[f"{prefix}_conv{ci}"] = conv_params(cl)
+            bn_p, bn_s = bn_split(bl)
+            params[f"{prefix}_bn{ci}"] = bn_p
+            stats[f"{prefix}_bn{ci}"] = bn_s
+            widths.append(int(cl["weight"].shape[0]))
+        (dec_spec if in_decoder else enc_spec).append(tuple(widths))
+        if not in_decoder:
+            enc_outs.append(widths[-1])
+        prev_out = widths[-1]
+
+    # ---- heads: conv/bn pairs then a trailing 1x1 conv
+    head_spec = None
+    for head in ("df_head", "angle_head"):
+        mods = sections[head]
+        name = "df" if head == "df_head" else "angle"
+        units: list = []
+        for mod, kind, leaves in mods:
+            if kind == "conv":
+                units.append([leaves, None])
+            else:
+                units[-1][1] = leaves
+        if not units or units[-1][0]["weight"].shape[2:] != (1, 1):
+            raise ValueError(f"{head}: expected a trailing 1x1 conv")
+        widths = []
+        for ci, (cl, bl) in enumerate(units[:-1]):
+            params[f"{name}_conv{ci}"] = conv_params(cl)
+            if bl is None:
+                raise ValueError(f"{head} conv {ci}: missing BatchNorm")
+            bn_p, bn_s = bn_split(bl)
+            params[f"{name}_bn{ci}"] = bn_p
+            stats[f"{name}_bn{ci}"] = bn_s
+            widths.append(int(cl["weight"].shape[0]))
+        params[f"{name}_out"] = conv_params(units[-1][0])
+        if head_spec is None:
+            head_spec = tuple(widths)
+        elif head_spec != tuple(widths):
+            raise ValueError("df_head / angle_head widths differ")
+
+    spec = {"enc": tuple(enc_spec), "dec": tuple(dec_spec), "head": head_spec}
+    return params, stats, spec
+
+
+def _convert_deeplsd_cli(sd: dict) -> tuple:
+    params, stats, spec = convert_deeplsd(sd)
+    print(f"deeplsd spec: {spec}")
+    return params, stats
+
+
+CONVERTERS["deeplsd"] = _convert_deeplsd_cli

@@ -147,6 +147,91 @@ class DeepLSDNet(nn.Module):
         return df, angle
 
 
+class DeepLSDPackageNet(nn.Module):
+    """Official-layout DF/AF UNet for converted `deeplsd_md.tar` weights
+    (the package's `deeplsd.models.deeplsd_inference.DeepLSD`, loaded by the
+    reference at `models/lines/deeplsd.py:30-43`).
+
+    Mirrors the package's VGGUNet + two Sequential heads so `convert_deeplsd`
+    (compat/torch_conversion.py) can map the official checkpoint tensor by
+    tensor. The topology assumptions (documented here because the package is
+    not installable in this zero-egress environment; validated by shape
+    checks in the converter and pending executing-package parity):
+
+      - encoder blocks of 3x3 conv -> BN -> ReLU, max-pool between blocks;
+      - decoder blocks preceded by bilinear 2x upsampling and skip
+        concatenation with the mirrored encoder block (skip first — the
+        standard torch-UNet ``cat([skip, x], dim=1)`` order);
+      - heads: two (3x3 conv -> ReLU -> BN) then a 1x1 conv; the DF head
+        ends in ReLU and predicts the log-normalized distance
+        ``df_norm = -log(d / r)`` (so the true distance is
+        ``exp(-df_norm) * r`` with r = line_neighborhood = 5 px), the angle
+        head ends in sigmoid scaled to [0, pi).
+
+    Outputs are converted to this framework's conventions: ``df`` in [0, 1]
+    (distance / d_max clipped) and ``angle`` in [0, pi) — drop-in for the
+    shared field vectorizer.
+    """
+
+    enc: tuple = ((64, 64), (128, 128), (256, 256), (256, 256))
+    dec: tuple = ((128, 128), (64, 64), (64, 64))
+    head: tuple = (64, 64)
+    skip_first: bool = True
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        from ..extractors.superpoint import rgb_to_grayscale
+
+        x = rgb_to_grayscale(image)
+        skips = []
+        for bi, block in enumerate(self.enc):
+            for ci, ch in enumerate(block):
+                x = nn.Conv(ch, (3, 3), padding="SAME", name=f"enc{bi}_conv{ci}")(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    name=f"enc{bi}_bn{ci}",
+                )(x)
+                x = nn.relu(x)
+            if bi < len(self.enc) - 1:
+                skips.append(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        for bi, block in enumerate(self.dec):
+            B, Hc, Wc, C = x.shape
+            x = jax.image.resize(x, (B, 2 * Hc, 2 * Wc, C), "bilinear")
+            skip = skips[-(bi + 1)]
+            x = jnp.concatenate([skip, x] if self.skip_first else [x, skip], -1)
+            for ci, ch in enumerate(block):
+                x = nn.Conv(ch, (3, 3), padding="SAME", name=f"dec{bi}_conv{ci}")(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    name=f"dec{bi}_bn{ci}",
+                )(x)
+                x = nn.relu(x)
+
+        def run_head(h, name):
+            for ci, ch in enumerate(self.head):
+                h = nn.Conv(ch, (3, 3), padding="SAME", name=f"{name}_conv{ci}")(h)
+                h = nn.relu(h)
+                h = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    name=f"{name}_bn{ci}",
+                )(h)
+            return nn.Conv(1, (1, 1), name=f"{name}_out")(h)[..., 0]
+
+        df_norm = nn.relu(run_head(x, "df"))
+        angle = nn.sigmoid(run_head(x, "angle")) * math.pi
+        # package convention -> ours: true distance = exp(-df_norm) * r,
+        # ours = clip(distance / d_max, 0, 1) with d_max = r
+        df = jnp.minimum(jnp.exp(-df_norm), 1.0)
+        return df, angle
+
+
 def field_losses(
     pred_df: jnp.ndarray,
     pred_angle: jnp.ndarray,
@@ -303,6 +388,9 @@ class DeepLSD(BaseModel):
         "d_max": 5.0,  # DF normalization radius (px)
         "detect_in_train": False,  # also vectorize during training forwards
         "channels": [64, 128, 256],
+        # package-layout backend: block widths of the converted official
+        # net; None = DeepLSDPackageNet defaults (deeplsd_md.tar layout)
+        "package_spec": None,
         "trainable": True,
         # package backend only:
         "weights_path": "weights/deeplsd_md.tar",  # under DATA_PATH
@@ -312,6 +400,16 @@ class DeepLSD(BaseModel):
     def setup(self):
         if self.conf.backend == "native":
             self.net = DeepLSDNet(channels=tuple(self.conf.channels))
+        elif self.conf.backend == "package-layout":
+            # official-layout net for converted deeplsd_md.tar weights
+            # (convert_deeplsd emits params/batch_stats + a spec dict; pass
+            # non-default shapes via conf.package_spec)
+            spec = self.conf.get("package_spec") or {}
+            self.net = DeepLSDPackageNet(
+                enc=tuple(tuple(b) for b in spec.get("enc", DeepLSDPackageNet.enc)),
+                dec=tuple(tuple(b) for b in spec.get("dec", DeepLSDPackageNet.dec)),
+                head=tuple(spec.get("head", DeepLSDPackageNet.head)),
+            )
         else:
             try:
                 import deeplsd  # noqa: F401
@@ -407,7 +505,9 @@ class DeepLSD(BaseModel):
         return {"lines": lines, "line_scores": scores, "line_mask": valid}
 
     def _forward(self, data: dict, train: bool = False) -> dict:
-        if self.conf.backend == "native":
+        if self.conf.backend in ("native", "package-layout"):
+            # the package-layout net emits the same (df, angle) conventions,
+            # so the field vectorizer path is shared
             return self._forward_native(data, train)
         return self._forward_package(data)
 
