@@ -92,9 +92,12 @@ class BaseDataset:
     base_default_conf = {
         "name": None,
         "num_workers": 0,
-        "train_batch_size": 1,
-        "val_batch_size": 1,
-        "test_batch_size": 1,
+        # per-split overrides; when unset, `batch_size` applies to every
+        # split (reference base_dataset.py:19-24 — a default of 1 here would
+        # shadow `batch_size` for configs that only set the global key)
+        "train_batch_size": None,
+        "val_batch_size": None,
+        "test_batch_size": None,
         "batch_size": 1,
         "shuffle_training": True,
         "batch_size_divisor": None,  # e.g. number of devices

@@ -406,9 +406,12 @@ if __name__ == "__main__":
         data = ds[i]
         views = [data] if nviews == 1 else [data[f"view{v}"] for v in range(nviews)]
         images.append([v["image"] for v in views])
-        depths.append([v["depth"] for v in views])
+        # depth may be absent (read_depth=false or missing .h5): plot images only
+        depths.append([v.get("depth") for v in views])
     axes = plot_image_grid(images, dpi=args.dpi)
     for i in range(len(images)):
-        plot_heatmaps(depths[i], axes=axes[i])
+        have = [d for d in depths[i] if d is not None]
+        if len(have) == len(depths[i]):
+            plot_heatmaps(depths[i], axes=axes[i])
     plt.savefig(args.out, dpi=args.dpi)
     print(f"wrote {args.out}")

@@ -314,6 +314,12 @@ class RoMa(BaseModel):
         "filter_threshold": 0.05,
         "max_kp_error": 2.0,
         "mutual_check": True,
+        # romatch-network knobs (reference configs/roma.yaml): consumed by the
+        # gated romatch backend when the package provides the warp; retained
+        # here so the reference config surface resolves unchanged.
+        "weights": "outdoor",
+        "internal_hw": [560, 560],
+        "output_hw": None,
         "trainable": False,
     }
     required_data_keys = ["view0", "view1"]

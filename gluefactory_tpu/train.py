@@ -65,7 +65,8 @@ default_train_conf = {
     "optimizer_options": {},
     "opt_regexp": None,  # regexp: only matching params are trained
     "lr": 0.001,
-    "lr_schedule": {"type": None, "start": 0, "exp_div_10": 0, "factor": 1.0, "on_epoch": []},
+    "lr_schedule": {"type": None, "start": 0, "exp_div_10": 0, "factor": 1.0,
+                    "on_epoch": [], "unit": "epoch"},
     "lr_scaling": [],  # [[scale, [regex, ...]], ...]
     "eval_every_iter": 1000,
     "save_every_iter": 5000,
@@ -133,14 +134,19 @@ def _apply_one_schedule(sconf, conf, steps_per_epoch, step, epoch, lr):
     stype = sconf.get("type")
     if stype in (None, "none"):
         return lr
+    # unit: "epoch" (default, reference semantics) or "iter" — with "iter"
+    # `start`/`exp_div_10`/`on_epoch` count optimizer steps, so the
+    # reference's per-iteration step counts (e.g. GlueStick's 200k-step exp
+    # decay) can be used directly without the batch-size/train-size coupling.
+    t = step if sconf.get("unit", "epoch") == "iter" else epoch
     if stype == "exp":
         gam = 10.0 ** (-1.0 / max(sconf.get("exp_div_10", 0) or 1e-9, 1e-9))
-        e = jnp.maximum(epoch - sconf.get("start", 0), 0.0)
+        e = jnp.maximum(t - sconf.get("start", 0), 0.0)
         return lr * gam**e
     if stype == "factor":
         on = jnp.asarray(list(sconf.get("on_epoch") or []), jnp.float32)
         if on.size:
-            n = (epoch[None] >= on).sum() if jnp.ndim(epoch) else (epoch >= on).sum()
+            n = (t[None] >= on).sum() if jnp.ndim(t) else (t >= on).sum()
             return lr * sconf.get("factor", 1.0) ** n
         return lr
     if stype == "cosine":
@@ -243,12 +249,26 @@ def strip_non_arrays(batch):
 def shard_batch(batch, mesh: Mesh, axis: int = 0):
     """device_put every array leaf sharded over the mesh's data axis.
     `axis` selects which array dimension is the batch dimension (1 for
-    stacked multi-step super-batches of shape (k, B, ...))."""
+    stacked multi-step super-batches of shape (k, B, ...)).
+
+    Multi-host: each process passes its LOCAL batch shard (from the
+    distributed data loader); the leaves are assembled into global arrays
+    spanning the full mesh via `make_array_from_process_local_data` — the
+    pjit step then runs SPMD with gradient reductions riding ICI/DCN
+    (SURVEY §5.8 rebuild mapping)."""
     data_sharding = NamedSharding(mesh, P(*([None] * axis + ["data"])))
     scalar_sharding = NamedSharding(mesh, P())
+    nproc = jax.process_count()
 
     def put(x):
         x = np.asarray(x) if not isinstance(x, jnp.ndarray) else x
+        if nproc > 1:
+            if (
+                getattr(x, "ndim", 0) > axis
+                and (x.shape[axis] * nproc) % mesh.size == 0
+            ):
+                return jax.make_array_from_process_local_data(data_sharding, x)
+            return jax.make_array_from_process_local_data(scalar_sharding, x)
         if getattr(x, "ndim", 0) > axis and x.shape[axis] % mesh.size == 0:
             return jax.device_put(x, data_sharding)
         return jax.device_put(x, scalar_sharding)
@@ -513,8 +533,11 @@ def training(conf: Config, output_dir: Path, args):
         train_loader = dataset.get_overfit_loader("train")
         val_loader = dataset.get_overfit_loader("val")
     else:
-        train_loader = dataset.get_data_loader("train")
-        val_loader = dataset.get_data_loader("val")
+        # multi-host: each process loads its 1/num_processes dataset shard
+        # (role of the reference's DistributedSampler, base_dataset.py:166-169)
+        dist = jax.process_count() > 1
+        train_loader = dataset.get_data_loader("train", distributed=dist)
+        val_loader = dataset.get_data_loader("val", distributed=dist)
     steps_per_epoch = max(len(train_loader), 1)
     logger.info("Training loader has %d batches", steps_per_epoch)
 
