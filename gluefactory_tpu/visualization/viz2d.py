@@ -55,8 +55,10 @@ def plot_images(imgs, titles=None, cmaps="gray", dpi=100, pad=0.5, adaptive=True
     return ax
 
 
-def plot_image_grid(imgs, titles=None, cmaps="gray", dpi=100, pad=0.5):
-    """Plot a grid of image rows; returns the grid of axes."""
+def plot_image_grid(imgs, titles=None, cmaps="gray", dpi=100, pad=0.5,
+                    return_fig=False):
+    """Plot a grid of image rows; returns the grid of axes (and the figure
+    with `return_fig=True`, reference viz2d.py plot_image_grid)."""
     n_rows = len(imgs)
     n_cols = len(imgs[0])
     figsize = [n_cols * 4.5, n_rows * 4.5]
@@ -71,7 +73,31 @@ def plot_image_grid(imgs, titles=None, cmaps="gray", dpi=100, pad=0.5):
             if titles:
                 ax[r][c].set_title(titles[r][c])
     fig.tight_layout(pad=pad)
+    if return_fig:
+        return fig, ax
     return ax
+
+
+def add_text(idx, text, axes=None, pos=(0.01, 0.99), fs=15, color="w",
+             lcolor="k", lwidth=2, ha="left", va="top", visible=True):
+    """Outlined text on axis `idx` of `axes` (reference viz2d.py add_text)."""
+    import matplotlib.patheffects as path_effects
+
+    if axes is None:
+        axes = plt.gcf().axes
+    ax = axes[idx] if not hasattr(axes, "ndim") else axes.ravel()[idx]
+    t = ax.text(
+        *pos, text, fontsize=fs, ha=ha, va=va, color=color,
+        transform=ax.transAxes, visible=visible,
+    )
+    if lcolor is not None:
+        t.set_path_effects(
+            [
+                path_effects.Stroke(linewidth=lwidth, foreground=lcolor),
+                path_effects.Normal(),
+            ]
+        )
+    return t
 
 
 def plot_keypoints(kpts, colors="lime", ps=4, axes=None, a=1.0):
@@ -118,13 +144,14 @@ def plot_matches(kpts0, kpts1, color=None, lw=1.5, ps=4, a=1.0, axes=None):
 
 
 def plot_lines(lines_per_axis, line_colors="orange", point_colors="cyan",
-               ps=4, lw=2, alpha=1.0, indices=(0, 1)):
+               ps=4, lw=2, alpha=1.0, indices=(0, 1), axes=None):
     """Plot line segments (N, 2, 2) on existing axes."""
     if not isinstance(line_colors, list):
         line_colors = [line_colors] * len(lines_per_axis)
     if not isinstance(point_colors, list):
         point_colors = [point_colors] * len(lines_per_axis)
-    axes = [plt.gcf().axes[i] for i in indices]
+    if axes is None:
+        axes = [plt.gcf().axes[i] for i in indices]
     for ax, l, lc, pc in zip(axes, lines_per_axis, line_colors, point_colors):
         l = np.asarray(l)
         for seg in l:
@@ -133,12 +160,18 @@ def plot_lines(lines_per_axis, line_colors="orange", point_colors="cyan",
         ax.scatter(pts[:, 0], pts[:, 1], c=pc, s=ps, linewidths=0, zorder=2, alpha=alpha)
 
 
-def plot_color_line_matches(lines_per_axis, correct_matches=None, lw=2, indices=(0, 1)):
-    """Color-code matched line pairs consistently across the two images."""
+def plot_color_line_matches(lines_per_axis, correct_matches=None, lw=2,
+                            indices=(0, 1), axes=None):
+    """Color-code matched line pairs consistently across the two images;
+    with `correct_matches` color by GT correctness instead (green/red)."""
     n_lines = len(np.asarray(lines_per_axis[0]))
-    colors = matplotlib.cm.hsv(np.linspace(0, 1, n_lines))
-    np.random.RandomState(0).shuffle(colors)
-    axes = [plt.gcf().axes[i] for i in indices]
+    if correct_matches is not None:
+        colors = cm_RdGn(np.asarray(correct_matches, float))
+    else:
+        colors = matplotlib.cm.hsv(np.linspace(0, 1, n_lines))
+        np.random.RandomState(0).shuffle(colors)
+    if axes is None:
+        axes = [plt.gcf().axes[i] for i in indices]
     for ax, l in zip(axes, lines_per_axis):
         l = np.asarray(l)
         for i, seg in enumerate(l):

@@ -100,3 +100,78 @@ def test_global_frame_interactivity():
         ys, np.asarray(results["expB"][frame.y]) - np.asarray(results["expA"][frame.y])
     )
     plt.close("all")
+
+
+def test_two_view_frame_multi_experiment():
+    """TwoViewFrame: side-by-side rows per experiment, key-filtered plot
+    modes, left/right cycling, summary toggle (reference
+    two_view_frame.py:21-177)."""
+    from gluefactory_tpu.visualization.two_view_frame import TwoViewFrame
+
+    rng = np.random.default_rng(0)
+    N = 16
+    data = {
+        "view0": {"image": rng.uniform(0, 1, (60, 80, 3)).astype(np.float32)},
+        "view1": {"image": rng.uniform(0, 1, (60, 80, 3)).astype(np.float32)},
+        "H_0to1": np.eye(3, dtype=np.float32),
+    }
+
+    def mk_pred():
+        return {
+            "keypoints0": rng.uniform(0, 60, (N, 2)).astype(np.float32),
+            "keypoints1": rng.uniform(0, 60, (N, 2)).astype(np.float32),
+            "keypoint_scores0": rng.uniform(0, 1, N).astype(np.float32),
+            "keypoint_scores1": rng.uniform(0, 1, N).astype(np.float32),
+            "matches0": rng.integers(-1, N, N),
+            "matching_scores0": rng.uniform(0, 1, N).astype(np.float32),
+        }
+
+    preds = {"expA": mk_pred(), "expB": mk_pred()}
+    summaries = {"expA": {"prec": 0.9}, "expB": {"prec": 0.8}}
+    frame = TwoViewFrame({}, data, preds, title="pair0", summaries=summaries)
+
+    # one row of 2 axes per experiment
+    assert len(frame.axes) == 2 and len(frame.axes[0]) == 2
+    # modes filtered by available keys: no lines/depth, matches available
+    assert "matches" in frame.options
+    assert "matching_scores" in frame.options
+    assert "keypoint_scores" in frame.options
+    assert "homography_error" in frame.options
+    assert "heatmaps" not in frame.options
+    assert frame.radio.current == "matches"
+
+    class KeyEvent:
+        def __init__(self, key):
+            self.key = key
+
+    cur = frame.radio.current
+    frame.on_key(KeyEvent("right"))
+    assert frame.radio.current != cur
+    frame.on_key(KeyEvent("left"))
+    assert frame.radio.current == cur
+
+    assert not frame.summary_arts[0].get_visible()
+    frame.on_key(KeyEvent("t"))
+    assert frame.summary_arts[0].get_visible()
+    plt.close("all")
+
+
+def test_two_view_frame_single_pred_back_compat():
+    """A bare (un-named) prediction dict still works."""
+    from gluefactory_tpu.visualization.two_view_frame import TwoViewFrame
+
+    rng = np.random.default_rng(1)
+    N = 8
+    data = {
+        "view0": {"image": rng.uniform(0, 1, (60, 80, 3)).astype(np.float32)},
+        "view1": {"image": rng.uniform(0, 1, (60, 80, 3)).astype(np.float32)},
+    }
+    pred = {
+        "keypoints0": rng.uniform(0, 60, (N, 2)).astype(np.float32),
+        "keypoints1": rng.uniform(0, 60, (N, 2)).astype(np.float32),
+        "matches0": rng.integers(-1, N, N),
+    }
+    frame = TwoViewFrame({}, data, pred)
+    assert len(frame.axes) == 1
+    assert "matches" in frame.options
+    plt.close("all")
