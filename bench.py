@@ -31,8 +31,8 @@ import os
 
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 # stacked two-view extraction doubles the conv batch to 2*BATCH images
-IMAGE_SIZE = 1024
-NUM_KEYPOINTS = 2048
+IMAGE_SIZE = int(os.environ.get("BENCH_IMAGE_SIZE", "1024"))
+NUM_KEYPOINTS = int(os.environ.get("BENCH_KEYPOINTS", "2048"))
 ITERS = int(os.environ.get("BENCH_ITERS", "50"))
 DTYPE = "bfloat16"  # forward compute dtype
 # int8 post-training-quantized extraction (ops/int8_conv.py) is available
@@ -138,7 +138,10 @@ def main():
     V5E_BF16_PEAK_FLOPS = 197e12
     qtag = "int8 extract, bf16 match" if QUANTIZE == "int8" else "bf16"
     result = {
-        "metric": f"image pairs/sec/chip (SP+LightGlue, 2048 kpts, 1024px, {qtag})",
+        "metric": (
+            f"image pairs/sec/chip (SP+LightGlue, {NUM_KEYPOINTS} kpts, "
+            f"{IMAGE_SIZE}px, {qtag})"
+        ),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
@@ -146,7 +149,145 @@ def main():
     if flops:
         result["mfu"] = round(flops / dtN / V5E_BF16_PEAK_FLOPS, 4)
         result["gflops_per_pair"] = round(flops / (BATCH * ITERS) / 1e9, 1)
+
+    try:
+        result["pruned"] = bench_pruned(jax, jnp, model, variables, batch)
+    except Exception as e:  # the headline metric must survive a pruned failure
+        result["pruned"] = {"error": str(e)[:300]}
     print(json.dumps(result))
+
+
+EXIT_LAYERS = int(os.environ.get("BENCH_EXIT_LAYERS", "5"))
+
+
+def bench_pruned(jax, jnp, model, variables, batch):
+    """Adaptive-pruning serving path (official LightGlue serving defaults
+    `depth_confidence: 0.95, width_confidence: 0.99`, reference
+    lightglue.py:461-526) measured through the TRUE early-exit
+    `lax.while_loop` serving fn (`models/matchers/lightglue_serving.py`).
+
+    With randomly-initialized weights on random images the confidence head
+    never fires, so the real data-dependent exit depth is unmeasurable here;
+    instead the confidence-head biases are set so every item exits after
+    EXIT_LAYERS of the 9 layers (~ the LightGlue paper's average adaptive
+    depth on MegaDepth at 0.95). The measurement is therefore the serving
+    mechanism's wall-clock at a representative exit depth, extraction
+    included, same chained-scan methodology as the headline metric."""
+    from gluefactory_tpu.models import get_model
+    from gluefactory_tpu.models.matchers.lightglue_serving import make_serving_fn
+
+    lg = get_model("lightglue").from_conf(
+        {
+            "n_layers": 9,
+            "checkpointed": False,
+            "flash": True,
+            "depth_confidence": 0.95,
+            "width_confidence": 0.99,
+        }
+    )
+    # the pipeline's inference init never creates the confidence heads
+    # (depth_confidence -1); init the serving matcher on a feature stub so
+    # ALL heads exist, then bias them so the batch exits after EXIT_LAYERS
+    rng0 = np.random.default_rng(1)
+    size = jnp.tile(
+        jnp.asarray([[float(IMAGE_SIZE)] * 2], jnp.float32), (BATCH, 1)
+    )
+    stub = {
+        "keypoints0": jnp.asarray(
+            rng0.uniform(0, IMAGE_SIZE, (BATCH, NUM_KEYPOINTS, 2)), jnp.float32
+        ),
+        "keypoints1": jnp.asarray(
+            rng0.uniform(0, IMAGE_SIZE, (BATCH, NUM_KEYPOINTS, 2)), jnp.float32
+        ),
+        "descriptors0": jnp.asarray(
+            rng0.normal(size=(BATCH, NUM_KEYPOINTS, 256)), jnp.float32
+        ),
+        "descriptors1": jnp.asarray(
+            rng0.normal(size=(BATCH, NUM_KEYPOINTS, 256)), jnp.float32
+        ),
+        "view0": {"image_size": size},
+        "view1": {"image_size": size},
+    }
+    lgvars = lg.init({"params": jax.random.key(3)}, stub)
+    if DTYPE == "bfloat16":
+        lgvars = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
+            else x,
+            lgvars,
+        )
+    mparams = dict(lgvars["params"])
+    for i in range(8):
+        tc = dict(mparams[f"token_confidence_{i}"])
+        tok = dict(tc["token"])
+        bias = 20.0 if i >= EXIT_LAYERS - 1 else -20.0
+        tok["bias"] = jnp.full_like(tok["bias"], bias)
+        tok["kernel"] = jnp.zeros_like(tok["kernel"])
+        tc["token"] = tok
+        mparams[f"token_confidence_{i}"] = tc
+    serving_fn = make_serving_fn(lg, {"params": mparams})
+
+    # extractor-only pipeline (no matcher) produces the suffixed features
+    extract = get_model("two_view_pipeline").from_conf(
+        {
+            "extractor": {
+                "name": "superpoint",
+                "max_num_keypoints": NUM_KEYPOINTS,
+                "detection_threshold": 0.0,
+                "force_num_keypoints": True,
+                "trainable": False,
+                "quantize": QUANTIZE if QUANTIZE != "none" else None,
+            },
+        }
+    )
+    evars = {"params": {"extractor_model": variables["params"]["extractor_model"]}}
+
+    def one_pass(batch, carry):
+        b = dict(batch)
+        b["view0"] = dict(b["view0"])
+        b["view0"]["image"] = b["view0"]["image"] + (carry * 1e-12).astype(
+            b["view0"]["image"].dtype
+        )
+        feats = extract.apply(evars, b, rngs={"sample": jax.random.key(2)})
+        out = serving_fn({**b, **feats})
+        return (
+            out["matching_scores0"].astype(jnp.float32).sum() * 1e-20,
+            out["exit_layer"],
+        )
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def bench_fn(batch, n):
+        def body(carry, _):
+            c, exit_layer = one_pass(batch, carry)
+            return c, exit_layer
+
+        carry, exits = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return carry, exits[-1]
+
+    compiled = bench_fn.lower(batch, n=ITERS).compile()
+    _, exits = compiled(batch)
+    exits = np.asarray(exits)
+
+    t0 = time.perf_counter()
+    carry, _ = compiled(batch)
+    float(carry)
+    dtN = time.perf_counter() - t0
+    pairs_per_sec = BATCH * ITERS / dtN
+
+    return {
+        "pairs_per_sec": round(pairs_per_sec, 2),
+        "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
+        "exit_layers": int(exits.max()) + 1,
+        "depth_confidence": 0.95,
+        "width_confidence": 0.99,
+        "note": (
+            "true early-exit while_loop serving path; exit depth forced to "
+            f"{EXIT_LAYERS}/9 via confidence-head bias (random-init weights "
+            "never exit on random inputs; width pruning is mask-inert)"
+        ),
+    }
 
 
 if __name__ == "__main__":

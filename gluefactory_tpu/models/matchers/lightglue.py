@@ -174,21 +174,29 @@ class TransformerLayer(nn.Module):
 class MatchAssignment(nn.Module):
     dim: int
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @nn.compact) so `get_matchability` can run the
+        # matchability head alone — the serving early-exit loop needs z0/z1
+        # per layer without paying the M×N similarity matrix
+        self.final_proj = nn.Dense(self.dim, name="final_proj")
+        self.matchability = nn.Dense(1, name="matchability")
+
     def __call__(self, desc0, desc1, mask0=None, mask1=None):
-        proj = nn.Dense(self.dim, name="final_proj")
-        mdesc0 = proj(desc0)
-        mdesc1 = proj(desc1)
+        mdesc0 = self.final_proj(desc0)
+        mdesc1 = self.final_proj(desc1)
         d = self.dim
         scale = 1.0 / d**0.25
         sim = jnp.einsum(
             "bmd,bnd->bmn", mdesc0 * scale, mdesc1 * scale, preferred_element_type=jnp.float32
         )
-        matchability = nn.Dense(1, name="matchability")
-        z0 = matchability(desc0).squeeze(-1).astype(jnp.float32)
-        z1 = matchability(desc1).squeeze(-1).astype(jnp.float32)
+        z0 = self.matchability(desc0).squeeze(-1).astype(jnp.float32)
+        z1 = self.matchability(desc1).squeeze(-1).astype(jnp.float32)
         scores = sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
         return scores, sim, z0, z1
+
+    def get_matchability(self, desc):
+        """Matchability logit alone (reference `lightglue.py:283-287`)."""
+        return self.matchability(desc).squeeze(-1).astype(jnp.float32)
 
 
 class TokenConfidence(nn.Module):
