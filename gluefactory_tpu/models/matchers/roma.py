@@ -16,11 +16,12 @@ Implements the backbone-independent logic of reference
     sampler): certainty-thresholded, KDE-balanced sampling of sparse matches
     from the dense warp, static-shape (returns exactly `num` matches).
 
-The DINOv2-L backbone + GP/decoder network of the romatch package cannot be
-fetched here (zero egress); the `RoMa` model consumes any dense warp +
-certainty source instead: precomputed `warp0/certainty0` (e.g. from a cache),
-raw `flow0/certainty_logits0` pyramid outputs, or — when the romatch package
-is installed — a host callback. Coordinate conventions reproduce the
+The network itself is native too (`roma_net.py`: DINOv2-L coarse encoder +
+VGG19-BN fine pyramid + cosine-kernel GP + anchor-classification decoder +
+depthwise ConvRefiners, `backend: native`); the `RoMa` model alternatively
+consumes any dense warp + certainty source: precomputed `warp0/certainty0`
+(e.g. from a cache) or raw `flow0/certainty_logits0` pyramid outputs
+(`backend: data`). Coordinate conventions reproduce the
 reference exactly, including its mixed align-corners usage
 (`normalize_coords`/`denormalize_coords` use the (W-1) align-corners=True
 convention, reference `utils/image.py:212-229`, while grid sampling is
@@ -34,6 +35,7 @@ import jax.numpy as jnp
 
 from ...ops.grid_sample import grid_sample_nd
 from ..base_model import BaseModel
+from .roma_net import NET_DEFAULT_CONF, RoMaNet
 
 
 # ---------------------------------------------------------------------------
@@ -296,13 +298,16 @@ def sample_matches(
 class RoMa(BaseModel):
     """Dense warp matcher (reference `models/matchers/roma.py:155-441`).
 
-    The romatch network (DINOv2-L backbone + match decoder) is not available
-    in this environment; the warp source is pluggable instead:
+    The warp source is pluggable:
+      - `backend: native` (default): the in-repo RoMa network
+        (`roma_net.py` — DINOv2-L + VGG19-BN + GP + anchor decoder +
+        ConvRefiners), run with the reference wrapper's exact two-pass
+        protocol (coarse pass at `internal_hw`, refiner-only upsample pass
+        at the output size, symmetric doubled batch);
       - `warp0/certainty0` (+`warp1/certainty1`) already in the data dict
         (probabilities, e.g. via CacheLoader), or
       - `flow0/certainty_logits0` (+ optional `lr_certainty0`) raw decoder
-        outputs, passed through `flow_to_warp`, or
-      - the romatch package, if importable, through a host callback.
+        outputs, passed through `flow_to_warp`.
     Everything downstream (snapping, sampling, cycle error) is on-device.
     """
 
@@ -314,18 +319,85 @@ class RoMa(BaseModel):
         "filter_threshold": 0.05,
         "max_kp_error": 2.0,
         "mutual_check": True,
-        # romatch-network knobs (reference configs/roma.yaml): consumed by the
-        # gated romatch backend when the package provides the warp; retained
-        # here so the reference config surface resolves unchanged.
+        # dense-warp source: "native" runs the in-repo RoMa network
+        # (roma_net.py); "data" requires warp/flow inputs (e.g. CacheLoader)
+        "backend": "native",
+        "net": dict(NET_DEFAULT_CONF),
+        # reference-wrapper knobs (reference roma.py:161-176)
         "weights": "outdoor",
         "internal_hw": [560, 560],
-        "output_hw": None,
+        "output_hw": None,  # None = like the input images
+        "upsample_preds": True,
+        "symmetric": True,  # the native net always computes both directions
+        "mixed_precision": True,
         "trainable": False,
     }
     required_data_keys = ["view0", "view1"]
 
     def setup(self):
-        pass
+        if self.conf.backend == "native":
+            self.net = RoMaNet(conf=self.conf.net)
+
+    # -- native dense-warp path (reference estimate_warp_symmetric,
+    # roma.py:323-361, with the romatch network replaced by roma_net) -------
+
+    def _prep(self, image: jnp.ndarray, hw) -> jnp.ndarray:
+        """[0,1] NHWC -> ImageNet-normalized RGB at `hw` (reference
+        process_image, roma.py:249-265: bilinear align_corners=False)."""
+        if image.shape[-1] == 1:
+            image = jnp.tile(image, (1, 1, 1, 3))
+        if hw is not None and tuple(image.shape[1:3]) != tuple(hw):
+            image = jax.image.resize(
+                image, (image.shape[0], int(hw[0]), int(hw[1]), 3), method="linear"
+            )
+        mean = jnp.asarray([0.485, 0.456, 0.406], image.dtype)
+        std = jnp.asarray([0.229, 0.224, 0.225], image.dtype)
+        return (image - mean) / std
+
+    def _dense_warp_native(self, data: dict) -> dict:
+        c = self.conf
+        img0, img1 = data["view0"]["image"], data["view1"]["image"]
+        B = img0.shape[0]
+        internal = tuple(int(v) for v in c.internal_hw)
+        im0 = self._prep(img0, internal)
+        im1 = self._prep(img1, internal)
+        if c.mixed_precision:
+            im0, im1 = im0.astype(jnp.bfloat16), im1.astype(jnp.bfloat16)
+        corresps = self.net(im0, im1)
+        lr_certainty = corresps[16]["certainty"].astype(jnp.float32)
+        flow = corresps[1]["flow"].astype(jnp.float32)
+        certainty = corresps[1]["certainty"].astype(jnp.float32)
+        if c.upsample_preds:
+            # second, refiner-only pass at the output resolution
+            # (reference upsample_flow_siamese, roma.py:267-321)
+            hw0 = tuple(c.output_hw) if c.output_hw else tuple(img0.shape[1:3])
+            hw1 = tuple(c.output_hw) if c.output_hw else tuple(img1.shape[1:3])
+            assert hw0 == hw1, "native RoMa upsample needs equal view sizes"
+            imq = self._prep(img0, hw0)
+            ims = self._prep(img1, hw1)
+            if c.mixed_precision:
+                imq, ims = imq.astype(jnp.bfloat16), ims.astype(jnp.bfloat16)
+            sf = float(
+                (hw0[0] * hw0[1] / (internal[0] * internal[1])) ** 0.5
+            )
+            corresps = self.net(
+                imq,
+                ims,
+                flow=flow,
+                certainty=certainty,
+                upsample=True,
+                scale_factor=sf,
+            )
+            flow = corresps[1]["flow"].astype(jnp.float32)
+            certainty = corresps[1]["certainty"].astype(jnp.float32)
+        out_q = flow_to_warp(flow[:B], certainty[:B], lr_certainty[:B])
+        out_s = flow_to_warp(flow[B:], certainty[B:], lr_certainty[B:])
+        return {
+            "warp0": out_q["warp"],
+            "certainty0": out_q["certainty"],
+            "warp1": out_s["warp"],
+            "certainty1": out_s["certainty"],
+        }
 
     def _hw(self, view):
         if "image" in view:
@@ -348,11 +420,14 @@ class RoMa(BaseModel):
                 )
                 pred[f"warp{v}"] = out["warp"]
                 pred[f"certainty{v}"] = out["certainty"]
+            elif c.backend == "native":
+                pred.update(self._dense_warp_native(data))
+                break  # computes both directions at once
             else:
                 raise NotImplementedError(
                     "RoMa needs a dense warp source: provide warp{0,1}/"
                     "certainty{0,1} or flow{0,1}/certainty_logits{0,1} in the "
-                    "data (the romatch DINOv2-L network is unavailable here)."
+                    "data, or set backend: native."
                 )
         if c.add_cycle_error:
             pred["cycle_error0"] = cycle_dist(pred["warp0"], pred["warp1"])
