@@ -7,80 +7,135 @@ the loader only streams source images; corner sampling, DLT, perspective
 warping, and photometric jitter all run on the TPU — the host data path
 reduces to image decoding.
 
-Sampler design (jit-safe; no rejection loops): target-patch corners are
-perturbed by bounded uniform offsets (<= difficulty/2 of the patch extent per
-corner, which keeps the quadrilateral convex by construction), then randomly
-translated inside the source frame; the homography comes from the batched
-4-point DLT. This matches the reference sampler's difficulty semantics
-(`geometry/homography.py:40-107`) with compiler-friendly control flow.
+Sampler design (jit-safe; no data-dependent Python control flow): the host
+sampler's rejection loops become fixed-width candidate fans selected by
+masks. Stages mirror the reference (`geometry/homography.py:40-107`, and our
+reference-exact host sampler in `geometry/homography.py`):
+  1. perturb the frame corners inward by uniform offsets bounded by the
+     difficulty-shrunk center patch; K candidate draws, first convex one is
+     kept (fallback: the shrunk patch itself);
+  2. re-center the quad onto the patch centroid;
+  3. rotate about the centroid by the first of a shuffled fan of
+     difficulty-scaled candidate angles that keeps the quad inside the frame
+     (unrotated if none fits);
+  4. translate by a uniform in-bounds offset scaled by
+     translation * difficulty.
+The homography comes from the batched 4-point DLT.
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry.homography import compute_homography_dlt
+from ..geometry.homography import compute_homography_dlt, create_center_patch
 from ..ops.warp import photometric_jitter, warp_perspective, warp_perspective_tiled
+
+
+def _convex_mask(quads: jnp.ndarray, norm, min_convexity: float = 0.05):
+    """(..., 4, 2) clockwise-convexity mask, reference semantics
+    (all successive-edge cross products <= -min_convexity on the
+    shape-normalized polygon)."""
+    p = quads / norm
+    out_e = jnp.roll(p, -1, axis=-2) - p
+    in_e = jnp.roll(out_e, 1, axis=-2)
+    cross = in_e[..., 0] * out_e[..., 1] - out_e[..., 0] * in_e[..., 1]
+    return jnp.all(cross <= -min_convexity, axis=-1)
 
 
 def sample_corner_quads(
     rng, batch: int, source_size, difficulty: float = 0.5,
     translation: float = 1.0, dtype=jnp.float32,
+    n_angles: int = 10, max_angle: float = 90.0, min_convexity: float = 0.05,
+    n_convex_tries: int = 4,
 ):
-    """Sample (B, 4, 2) convex source quadrilaterals plus the translated
-    inner rectangle (B, 4, 2) they were perturbed from (the λ=0 fallback of
-    the window-safety clamp below)."""
+    """Sample (B, 4, 2) source quadrilaterals following the reference
+    distribution, plus a translated axis-aligned inner rectangle (B, 4, 2)
+    (the λ=0 fallback of the window-safety clamp below)."""
     sw, sh = float(source_size[0]), float(source_size[1])
-    k_pert, k_trans = jax.random.split(rng)
+    norm = jnp.asarray([sw, sh], dtype)
+    k_pert, k_ang, k_trans = jax.random.split(rng, 3)
 
-    # base source quadrilateral: centered patch of fractional size (1 - difficulty/2)
-    margin_x = sw * difficulty / 2.0
-    margin_y = sh * difficulty / 2.0
-    base = jnp.asarray(
-        [[0.0, 0.0], [sw, 0.0], [sw, sh], [0.0, sh]], dtype
-    )  # source frame corners
+    frame = jnp.asarray(create_center_patch((source_size[0], source_size[1])), dtype)
     inner = jnp.asarray(
-        [
-            [margin_x, margin_y],
-            [sw - margin_x, margin_y],
-            [sw - margin_x, sh - margin_y],
-            [margin_x, sh - margin_y],
-        ],
+        create_center_patch(
+            (source_size[0], source_size[1]),
+            (sw * (1.0 - difficulty), sh * (1.0 - difficulty)),
+        ),
         dtype,
     )
-    # each inner corner moves toward its frame corner by u in [0, 1):
-    # offsets stay within the per-corner quadrant => always convex
-    u = jax.random.uniform(k_pert, (batch, 4, 2), dtype=dtype)
-    quad = inner[None] + u * (base - inner)[None]
+    spread = inner - frame  # inward extent available to each corner
 
-    # random global translation, keeping the quad inside the frame
-    left = quad[:, :, 0].min(axis=1)
-    right = sw - quad[:, :, 0].max(axis=1)
-    top = quad[:, :, 1].min(axis=1)
-    bottom = sh - quad[:, :, 1].max(axis=1)
-    t = jax.random.uniform(k_trans, (batch, 2), dtype=dtype, minval=-1.0, maxval=1.0)
-    tx = translation * jnp.where(t[:, 0] < 0, t[:, 0] * left, t[:, 0] * right)
-    ty = translation * jnp.where(t[:, 1] < 0, t[:, 1] * top, t[:, 1] * bottom)
-    shift = jnp.stack([tx, ty], axis=-1)[:, None, :]
-    return quad + shift, inner[None] + shift
+    # stage 1: K candidate perturbations, keep the first convex one
+    u = jax.random.uniform(k_pert, (n_convex_tries, batch, 4, 2), dtype=dtype)
+    cands = frame[None, None] + u * spread[None, None]  # (K, B, 4, 2)
+    ok = _convex_mask(cands, norm, min_convexity)  # (K, B)
+    first = jnp.argmax(ok, axis=0)  # (B,)
+    any_ok = jnp.any(ok, axis=0)
+    picked = jnp.take_along_axis(cands, first[None, :, None, None], axis=0)[0]
+    quad = jnp.where(any_ok[:, None, None], picked, inner[None])
+
+    # stage 2: re-center onto the shrunk patch's centroid
+    quad = quad + (inner.mean(0) - quad.mean(1))[:, None, :]
+
+    # stage 3: rotation fan — first in-frame candidate wins, else unrotated
+    if n_angles > 1 and difficulty > 0 and max_angle > 0:
+        limit = math.radians(max_angle) * difficulty
+        base_angles = jnp.linspace(-limit, limit, n_angles, dtype=dtype)
+        # per-item shuffle, considering n_angles - 1 candidates like the host
+        perm = jax.vmap(
+            lambda k: jax.random.permutation(k, base_angles)[: n_angles - 1]
+        )(jax.random.split(k_ang, batch))  # (B, A)
+        centroid = quad.mean(1, keepdims=True)  # (B, 1, 2)
+        d = quad - centroid  # (B, 4, 2)
+        c = jnp.cos(perm)[:, :, None]  # (B, A, 1)
+        s = jnp.sin(perm)[:, :, None]
+        rx = d[:, None, :, 0] * c + d[:, None, :, 1] * s  # (B, A, 4)
+        ry = d[:, None, :, 1] * c - d[:, None, :, 0] * s
+        rot = jnp.stack([rx, ry], axis=-1) + centroid[:, None]  # (B, A, 4, 2)
+        scaled = rot / norm
+        inside = jnp.all((scaled >= 0.0) & (scaled < 1.0), axis=(-2, -1))  # (B, A)
+        first_a = jnp.argmax(inside, axis=1)
+        any_a = jnp.any(inside, axis=1)
+        chosen = jnp.take_along_axis(
+            rot, first_a[:, None, None, None], axis=1
+        )[:, 0]
+        quad = jnp.where(any_a[:, None, None], chosen, quad)
+
+    # stage 4: in-bounds translation scaled by translation * difficulty
+    lo = -quad.min(axis=1)  # (B, 2)
+    hi = norm[None] - quad.max(axis=1)
+    t = jax.random.uniform(k_trans, (batch, 2), dtype=dtype)
+    shift = (lo + t * (hi - lo)) * (translation * difficulty)
+    quad = quad + shift[:, None, :]
+    return quad, inner[None] + shift[:, None, :]
 
 
 def _patch_corners(batch: int, patch_size, dtype=jnp.float32):
-    pw, ph = float(patch_size[0]), float(patch_size[1])
-    corners = jnp.asarray([[0.0, 0.0], [pw, 0.0], [pw, ph], [0.0, ph]], dtype)
+    # same vertex ORDER as the source quads (create_center_patch:
+    # [left,bottom], [left,top], [right,top], [right,bottom]) so the 4-point
+    # correspondences line up
+    corners = jnp.asarray(
+        create_center_patch((patch_size[0], patch_size[1])), dtype
+    )
     return jnp.tile(corners[None], (batch, 1, 1))
 
 
 def sample_corner_homographies(
     rng, batch: int, source_size, patch_size, difficulty: float = 0.5,
     translation: float = 1.0, dtype=jnp.float32,
+    n_angles: int = 10, max_angle: float = 90.0,
 ):
     """Sample (B, 3, 3) homographies mapping SOURCE pixel coords to PATCH
-    pixel coords (cv2.warpPerspective convention used by `warp_perspective`)."""
+    pixel coords (cv2.warpPerspective convention used by `warp_perspective`).
+    Targets the difficulty-shrunk CENTER patch of the patch frame like the
+    host sampler (create_center_patch(patch_shape))."""
     quad, _ = sample_corner_quads(
-        rng, batch, source_size, difficulty, translation, dtype
+        rng, batch, source_size, difficulty, translation, dtype,
+        n_angles=n_angles, max_angle=max_angle,
     )
     return compute_homography_dlt(quad, _patch_corners(batch, patch_size, dtype))
 
@@ -118,7 +173,8 @@ def _max_tile_footprint(H, patch_size, tile=(16, 128)):
 
 def _sample_window_safe_homography(
     rng, batch: int, source_size, patch_size, difficulty, translation, window,
-    tile=(16, 128), margin: float = 3.0,
+    tile=(16, 128), margin: float = 3.0, n_angles: int = 10,
+    max_angle: float = 90.0,
 ):
     """Sample homographies whose every output-tile source footprint PROVABLY
     fits the static `window` of `warp_perspective_tiled` (out-of-window
@@ -133,7 +189,8 @@ def _sample_window_safe_homography(
     extreme-perspective draws.
     """
     quad, inner = sample_corner_quads(
-        rng, batch, source_size, difficulty, translation, jnp.float32
+        rng, batch, source_size, difficulty, translation, jnp.float32,
+        n_angles=n_angles, max_angle=max_angle,
     )
     corners = _patch_corners(batch, patch_size, jnp.float32)
     wh, ww = float(window[0]), float(window[1])
@@ -161,6 +218,8 @@ def generate_homography_pairs(
     translation: float = 1.0,
     photometric_strength: float = 0.5,
     warp_impl: str = "tiled",
+    n_angles: int = 10,
+    max_angle: float = 90.0,
 ):
     """source_images (B, H, W, C) -> a two-view train batch with exact
     `H_0to1`, all on device.
@@ -187,20 +246,22 @@ def generate_homography_pairs(
             ),
         )
         H0 = _sample_window_safe_homography(
-            k0, B, (sw, sh), patch_size, difficulty, translation, win
+            k0, B, (sw, sh), patch_size, difficulty, translation, win,
+            n_angles=n_angles, max_angle=max_angle,
         )
         H1 = _sample_window_safe_homography(
-            k1, B, (sw, sh), patch_size, difficulty, translation, win
+            k1, B, (sw, sh), patch_size, difficulty, translation, win,
+            n_angles=n_angles, max_angle=max_angle,
         )
         warp = lambda im, H: warp_perspective_tiled(im, H, patch_size, window=win)
     else:
         H0 = sample_corner_homographies(
             k0, B, (sw, sh), patch_size, difficulty, translation,
-            dtype=jnp.float32,
+            dtype=jnp.float32, n_angles=n_angles, max_angle=max_angle,
         )
         H1 = sample_corner_homographies(
             k1, B, (sw, sh), patch_size, difficulty, translation,
-            dtype=jnp.float32,
+            dtype=jnp.float32, n_angles=n_angles, max_angle=max_angle,
         )
         warp = lambda im, H: warp_perspective(im, H, patch_size)
     img0 = warp(source_images, H0)

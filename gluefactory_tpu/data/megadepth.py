@@ -10,11 +10,19 @@ fixup, h5 depth, cached-feature loading for extractor-free training, and a
 triplet mode (views: 3).
 
 No auto-download (zero-egress): place MegaDepth under DATA_PATH/megadepth
-with `scene_info/`, `Undistorted_SfM/`, `depth_undistorted/`, and scene list
-files under `scene_lists/`.
+with `scene_info/`, `Undistorted_SfM/`, `depth_undistorted/`.
+
+Scene splits: the reference's CANONICAL scene lists
+(`megadepth_scene_lists/{train,valid,test}_scenes_clean.txt`, `valid_pairs.txt`
+— verbatim data files from reference
+`datasets/megadepth_scene_lists/`) ship with this package and are the
+default. A file of the same name under `<data_dir>/scene_lists/` overrides
+them (e.g. written by `scripts/make_scene_lists.py` for custom corpora).
 """
 
 from __future__ import annotations
+
+from pathlib import Path
 
 import h5py
 import numpy as np
@@ -30,6 +38,8 @@ from .utils import rotate_intrinsics, rotate_pose_inplane, scale_intrinsics
 
 
 def sample_n(data, num, seed=None):
+    """Uniform subsample of at most `num` rows (fresh RandomState per call,
+    like reference megadepth.py:30-34 — the same seed repeats across scenes)."""
     if len(data) > num:
         selected = np.random.RandomState(seed).choice(len(data), num, replace=False)
         return data[selected]
@@ -97,6 +107,10 @@ class MegaDepth(BaseDataset):
         self.get_dataset("train").sample_new_items(seed)
 
 
+# the reference's canonical split lists, shipped verbatim with the package
+PACKAGED_SCENE_LISTS = Path(__file__).parent / "megadepth_scene_lists"
+
+
 class _MegaDepthItems:
     def __init__(self, conf, split, load_sample=True):
         self.conf = conf
@@ -106,12 +120,7 @@ class _MegaDepthItems:
 
         split_conf = conf[split + "_split"]
         if isinstance(split_conf, str):
-            scenes_path = self.scene_lists_path / split_conf
-            if not scenes_path.exists():
-                raise FileNotFoundError(
-                    f"scene list {scenes_path} not found; provide "
-                    f"data.{split}_split as an explicit list or add the file"
-                )
+            scenes_path = self._resolve_scene_list(split_conf)
             scenes = scenes_path.read_text().rstrip("\n").split("\n")
         elif isinstance(split_conf, (list, tuple)):
             scenes = list(split_conf)
@@ -146,78 +155,114 @@ class _MegaDepthItems:
             self.sample_new_items(conf.seed)
             assert len(self.items) > 0, "no MegaDepth items sampled"
 
+    def _resolve_scene_list(self, filename: str) -> Path:
+        """Data-dir `scene_lists/` overrides (custom corpora); otherwise the
+        packaged canonical reference lists."""
+        for base in (self.scene_lists_path, PACKAGED_SCENE_LISTS):
+            path = base / filename
+            if path.exists():
+                return path
+        raise FileNotFoundError(
+            f"scene list {filename} found neither under {self.scene_lists_path} "
+            f"nor in the packaged lists {PACKAGED_SCENE_LISTS}; provide "
+            f"data.{self.split}_split as an explicit list or add the file"
+        )
+
+    # -- per-epoch item sampling ---------------------------------------
+    # Semantics pinned to reference megadepth.py:160-249 (fixed-pair lists,
+    # single-view subsets, overlap-binned pair sampling with thin-bin
+    # redistribution, optional zero-overlap negatives, seed-shuffled order);
+    # structure and RNG call sequence kept identical for reproducibility.
+
+    def _parse_num_per_scene(self):
+        value = self.conf[self.split + "_num_per_scene"]
+        return tuple(value) if isinstance(value, (list, tuple)) else (value, None)
+
+    def _fixed_pair_items(self, pairs_file: str):
+        """Items from a '<scene>/<im0> <scene>/<im1>' pair list (val/test)."""
+        out = []
+        for line in self._resolve_scene_list(pairs_file).read_text().rstrip(
+            "\n"
+        ).split("\n"):
+            names = line.split(" ")
+            scene = names[0].split("/")[0]
+            rel0, rel1 = (self.conf.image_subpath + n for n in names)
+            out.append(
+                (
+                    scene,
+                    int(np.flatnonzero(self.images[scene] == rel0)[0]),
+                    int(np.flatnonzero(self.images[scene] == rel1)[0]),
+                    1.0,
+                )
+            )
+        return out
+
+    def _single_view_items(self, scene: str, num_pos, seed: int):
+        usable = np.flatnonzero(
+            (self.images[scene] != None) | (self.depths[scene] != None)  # noqa: E711
+        )
+        if num_pos and len(usable) > num_pos:
+            usable = np.random.RandomState(seed).choice(usable, num_pos, replace=False)
+        return [(scene, int(i)) for i in usable]
+
+    def _binned_pair_indices(self, mat: np.ndarray, num_pos: int, seed: int):
+        """Pairs binned uniformly over [min_overlap, max_overlap]; bins with
+        fewer than 2x their quota are dropped and the budget is split across
+        the surviving bins."""
+        conf = self.conf
+        edges = np.linspace(conf.min_overlap, conf.max_overlap, conf.num_overlap_bins + 1)
+        by_bin = [
+            np.argwhere((mat > lo) & (mat <= hi))
+            for lo, hi in zip(edges[:-1], edges[1:])
+        ]
+        quota = num_pos // conf.num_overlap_bins
+        full = [b for b in by_bin if len(b) >= quota * 2]
+        share = num_pos // max(1, len(full))
+        kept = [sample_n(b, share, seed) for b in full]
+        return np.concatenate(kept, 0) if kept else np.zeros((0, 2), int)
+
+    def _scene_pair_items(self, scene: str, num_pos, num_neg, seed: int):
+        conf = self.conf
+        info = np.load(str(self.info_dir / (scene + ".npz")), allow_pickle=True)
+        valid = (self.images[scene] != None) & (self.depths[scene] != None)  # noqa: E711
+        ind = np.flatnonzero(valid)
+        mat = info["overlap_matrix"][valid][:, valid]
+        if conf.views == 3:
+            return self._sample_triplets(scene, ind, mat, num_pos, seed)
+        if num_pos is not None:
+            chosen = self._binned_pair_indices(mat, num_pos, seed)
+        else:
+            chosen = np.argwhere((mat > conf.min_overlap) & (mat <= conf.max_overlap))
+        if num_neg is not None:
+            negatives = sample_n(np.argwhere(mat <= 0.0), num_neg, seed)
+            chosen = np.concatenate([chosen, negatives], 0)
+        return [
+            (scene, int(ind[i]), int(ind[j]), float(mat[i, j])) for i, j in chosen
+        ]
+
     def sample_new_items(self, seed: int):
         logger.info("Sampling new %s MegaDepth items with seed %d", self.split, seed)
         conf = self.conf
-        self.items = []
         split = self.split
-        num_per_scene = conf[split + "_num_per_scene"]
-        if isinstance(num_per_scene, (list, tuple)):
-            num_pos, num_neg = num_per_scene
-        else:
-            num_pos, num_neg = num_per_scene, None
+        num_pos, num_neg = self._parse_num_per_scene()
 
         if split != "train" and conf.get(split + "_pairs") is not None:
-            pairs_path = self.scene_lists_path / conf[split + "_pairs"]
-            for line in pairs_path.read_text().rstrip("\n").split("\n"):
-                im0, im1 = line.split(" ")
-                scene = im0.split("/")[0]
-                im0, im1 = [conf.image_subpath + im for im in (im0, im1)]
-                idx0 = np.where(self.images[scene] == im0)[0][0]
-                idx1 = np.where(self.images[scene] == im1)[0][0]
-                self.items.append((scene, int(idx0), int(idx1), 1.0))
+            self.items = self._fixed_pair_items(conf[split + "_pairs"])
         elif conf.views == 1:
-            for scene in self.scenes:
-                valid = (self.images[scene] != None) | (self.depths[scene] != None)  # noqa: E711
-                ids = np.where(valid)[0]
-                if num_pos and len(ids) > num_pos:
-                    ids = np.random.RandomState(seed).choice(ids, num_pos, replace=False)
-                self.items.extend([(scene, int(i)) for i in ids])
+            self.items = [
+                item
+                for scene in self.scenes
+                for item in self._single_view_items(scene, num_pos, seed)
+            ]
         else:
-            for scene in self.scenes:
-                path = self.info_dir / (scene + ".npz")
-                info = np.load(str(path), allow_pickle=True)
-                valid = (self.images[scene] != None) & (self.depths[scene] != None)  # noqa: E711
-                ind = np.where(valid)[0]
-                mat = info["overlap_matrix"][valid][:, valid]
-                if conf.views == 3:
-                    self._sample_triplets(scene, ind, mat, num_pos, seed)
-                    continue
-                if num_pos is not None:
-                    # sample binned by overlap (reference megadepth.py:212-233)
-                    num_bins = conf.num_overlap_bins
-                    bin_width = (conf.max_overlap - conf.min_overlap) / num_bins
-                    num_per_bin = num_pos // num_bins
-                    pairs_all = []
-                    for k in range(num_bins):
-                        bin_min = conf.min_overlap + k * bin_width
-                        bin_max = bin_min + bin_width
-                        pairs_bin = (mat > bin_min) & (mat <= bin_max)
-                        pairs_all.append(np.stack(np.where(pairs_bin), -1))
-                    has_enough = [len(p) >= num_per_bin * 2 for p in pairs_all]
-                    num_per_bin_2 = num_pos // max(1, sum(has_enough))
-                    pairs = [
-                        sample_n(p, num_per_bin_2, seed)
-                        for p, keep in zip(pairs_all, has_enough)
-                        if keep
-                    ]
-                    pairs = np.concatenate(pairs, 0) if pairs else np.zeros((0, 2), int)
-                else:
-                    pairs = (mat > conf.min_overlap) & (mat <= conf.max_overlap)
-                    pairs = np.stack(np.where(pairs), -1)
-                pairs = [
-                    (scene, int(ind[i]), int(ind[j]), float(mat[i, j])) for i, j in pairs
-                ]
-                if num_neg is not None:
-                    neg_pairs = np.stack(np.where(mat <= 0.0), -1)
-                    neg_pairs = sample_n(neg_pairs, num_neg, seed)
-                    pairs += [
-                        (scene, int(ind[i]), int(ind[j]), float(mat[i, j]))
-                        for i, j in neg_pairs
-                    ]
-                self.items.extend(pairs)
+            self.items = [
+                item
+                for scene in self.scenes
+                for item in self._scene_pair_items(scene, num_pos, num_neg, seed)
+            ]
+
         if conf.views == 2 and conf.sort_by_overlap:
-            self.items.sort(key=lambda i: i[-1], reverse=True)
+            self.items.sort(key=lambda it: it[-1], reverse=True)
         else:
             np.random.RandomState(seed).shuffle(self.items)
 
@@ -229,6 +274,7 @@ class _MegaDepthItems:
         pairs = np.stack(np.where(good), -1)
         pairs = sample_n(pairs, num_pos or len(pairs), seed)
         rng = np.random.RandomState(seed)
+        items = []
         for i, j in pairs:
             if conf.triplet_enforce_overlap:
                 k_candidates = np.where(good[i] & good[j])[0]
@@ -238,12 +284,13 @@ class _MegaDepthItems:
             if len(k_candidates) == 0:
                 continue
             k = rng.choice(k_candidates)
-            self.items.append(
+            items.append(
                 (
                     scene, int(ind[i]), int(ind[j]), int(ind[k]),
                     float(mat[i, j]), float(mat[i, k]), float(mat[j, k]),
                 )
             )
+        return items
 
     # ------------------------------------------------------------------
 

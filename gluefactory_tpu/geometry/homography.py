@@ -42,14 +42,26 @@ def create_center_patch(shape, patch_shape=None):
 
 
 def check_convex(patch, min_convexity=0.05):
-    """All cross products of successive edges must have the same sign."""
-    for i in range(patch.shape[0]):
-        x1, y1 = patch[(i - 1) % patch.shape[0]]
-        x2, y2 = patch[i]
-        x3, y3 = patch[(i + 1) % patch.shape[0]]
-        if (x2 - x1) * (y3 - y2) - (x3 - x2) * (y2 - y1) > -min_convexity:
-            return False
-    return True
+    """Is the polygon (N, 2) convex with clockwise winding?
+
+    Vectorized: the z cross-product of every incoming edge with its outgoing
+    edge must stay at or below ``-min_convexity`` (reference
+    `geometry/homography.py:29-37` semantics).
+    """
+    p = np.asarray(patch, dtype=np.float64)
+    out_edge = np.roll(p, -1, axis=0) - p  # edge leaving vertex i
+    in_edge = np.roll(out_edge, 1, axis=0)  # edge arriving at vertex i
+    cross = in_edge[:, 0] * out_edge[:, 1] - out_edge[:, 0] * in_edge[:, 1]
+    return bool(np.all(cross <= -min_convexity))
+
+
+def _rotate_about(points, center, angle):
+    """Rotate (N, 2) points about `center` — row-vector convention
+    p' = (p - c) @ [[cos, -sin], [sin, cos]] + c, matching the reference's
+    matmul orientation (`geometry/homography.py:77-90`)."""
+    c, s = math.cos(angle), math.sin(angle)
+    d = points - center
+    return np.stack([d[:, 0] * c + d[:, 1] * s, d[:, 1] * c - d[:, 0] * s], 1) + center
 
 
 def sample_homography_corners(
@@ -62,70 +74,70 @@ def sample_homography_corners(
     min_convexity=0.05,
     rng=np.random,
 ):
-    """Sample a random homography mapping a convex quadrilateral of `shape`
-    onto a `patch_shape` patch.
+    """Sample a random homography mapping a convex quadrilateral of the
+    source frame `shape` (w, h) onto the `patch_shape` patch.
 
-    Returns (H 3x3, source corners, target corners, patch coords).
-    Behavioral spec from reference `geometry/homography.py:40-107`: perturb
-    the corners of a center patch by `difficulty`, apply random translation
-    and rotation, retry rotation angles until convex.
+    Reference-exact re-derivation of `geometry/homography.py:40-107`,
+    including RNG call order, so that feeding both sides the same
+    ``np.random.RandomState`` yields identical output
+    (tests/test_torchref_geometry.py). Stages:
+      1. perturb the frame corners inward (up to the `difficulty`-shrunk
+         center patch), rejection-sampled until convex;
+      2. re-center the quad onto the shrunk patch's centroid;
+      3. rotate about the centroid by the first of ``n_angles - 1`` shuffled
+         candidate angles (range scaled by `difficulty`) that keeps the quad
+         fully inside the frame — unrotated if none fits;
+      4. translate by a uniform in-bounds offset scaled by
+         ``translation * difficulty``.
+
+    Returns ``(H, frame_corners, warped_frame_corners, patch_shape)``; H maps
+    source pixel coords to patch pixel coords.
     """
-    max_angle = max_angle / 180.0 * math.pi
     width, height = shape
-    pwidth, pheight = width * (1 - difficulty), height * (1 - difficulty)
-    min_pts1 = create_center_patch(shape, (pwidth, pheight))
-    full = create_center_patch(shape)
-    pts2 = create_center_patch(patch_shape).astype(np.float32)
-    scale = min_pts1 - full
-    found_valid = False
-    cnt = -1
-    while not found_valid:
-        offsets = rng.uniform(0.0, 1.0, size=(4, 2)) * scale
-        pts1 = full + offsets
-        found_valid = check_convex(pts1 / np.array(shape), min_convexity)
-        cnt += 1
-        if cnt > 100:
-            pts1 = min_pts1.astype(np.float64)
+    norm = np.array(shape, dtype=np.float64)
+    frame = create_center_patch(shape)
+    target = create_center_patch(patch_shape)
+    # the difficulty-shrunk center patch bounds the per-corner perturbation
+    inner = create_center_patch(
+        shape, (width * (1 - difficulty), height * (1 - difficulty))
+    )
+    spread = inner - frame  # inward extent available to each corner
+
+    quad = inner.astype(np.float64)
+    while True:
+        cand = frame + rng.uniform(0.0, 1.0, size=(4, 2)) * spread
+        if check_convex(cand / norm, min_convexity):
+            quad = cand
             break
 
-    # random translation
-    left = pts1[:, 0].min()
-    right = width - pts1[:, 0].max()
-    top = pts1[:, 1].min()
-    bottom = height - pts1[:, 1].max()
-    pts1 += np.array(
-        [
-            rng.uniform(-translation * left, translation * right),
-            rng.uniform(-translation * top, translation * bottom),
-        ]
-    )[None]
+    # re-center the quad onto the shrunk patch's centroid
+    quad = quad + (inner.mean(0) - quad.mean(0))[None]
 
-    # random rotation
-    if n_angles > 0 and max_angle > 0:
-        angles = np.linspace(-max_angle, max_angle, num=n_angles)
+    if n_angles > 0 and difficulty > 0:
+        limit = math.radians(max_angle) * difficulty
+        angles = np.linspace(-limit, limit, n_angles)
         rng.shuffle(angles)
-        angles = np.concatenate([[0.0], angles], axis=0)
-        center = np.mean(pts1, axis=0, keepdims=True)
-        rot_mat = np.reshape(
-            np.stack(
-                [np.cos(angles), -np.sin(angles), np.sin(angles), np.cos(angles)],
-                axis=1,
-            ),
-            [-1, 2, 2],
-        )
-        rotated = (
-            np.matmul((pts1 - center)[None], rot_mat) + center
-        )
-        for idx in range(len(angles)):
-            warped = rotated[idx]
-            if check_convex(warped / np.array(shape), min_convexity):
-                pts1 = warped
+        rng.shuffle(angles)
+        centroid = quad.mean(0, keepdims=True)
+        # the reference considers only the first n_angles - 1 shuffled
+        # candidates (homography.py:92 iterates range(1, n_angles) over the
+        # zero-prepended array) and keeps the quad unrotated if none fits
+        for angle in angles[: n_angles - 1]:
+            cand = _rotate_about(quad, centroid, angle)
+            scaled = cand / norm
+            if np.all((scaled >= 0.0) & (scaled < 1.0)):
+                quad = cand
                 break
 
-    pts1 = pts1.astype(np.float32)
-    H = compute_homography_np(pts1, pts2, [1.0, 1.0])
-    coords = compute_homography_np(pts2, pts1, [1.0, 1.0])
-    return H, pts1, pts2, coords
+    if translation > 0:
+        lo = -quad.min(0)
+        hi = norm - quad.max(0)
+        quad = quad + rng.uniform(lo, hi)[None] * (translation * difficulty)
+
+    H = compute_homography_np(quad, target, [1.0, 1.0])
+    frame_h = np.concatenate([frame, np.ones((4, 1))], 1) @ H.astype(np.float64).T
+    warped = frame_h[:, :2] / frame_h[:, 2:]
+    return H, frame.astype(np.float64), warped, patch_shape
 
 
 def compute_homography_np(pts1, pts2, shape=(1.0, 1.0)) -> np.ndarray:

@@ -436,6 +436,8 @@ def apply_device_augment(batch, rng, device_augment):
         difficulty=device_augment.get("difficulty", 0.5),
         translation=device_augment.get("translation", 1.0),
         photometric_strength=device_augment.get("photometric_strength", 0.5),
+        n_angles=device_augment.get("n_angles", 10),
+        max_angle=device_augment.get("max_angle", 90.0),
     )
     return {**{k: v for k, v in batch.items() if k != "source_image"}, **gen}
 

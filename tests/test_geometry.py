@@ -128,12 +128,22 @@ def test_compute_homography_dlt_batched():
 
 def test_sample_homography_corners():
     rng = np.random.default_rng(3)
-    H, pts1, pts2, coords = sample_homography_corners(
+    H, frame, warped, patch_shape = sample_homography_corners(
         (640, 480), (320, 240), difficulty=0.5, rng=rng
     )
-    # H maps source corners onto the target patch corners
-    warped = np.asarray(warp_points(jnp.asarray(pts1[None], jnp.float32), jnp.asarray(H[None])))
-    np.testing.assert_allclose(warped[0], pts2, atol=0.5)
+    # the returned warped corners are the frame corners pushed through H
+    check = np.asarray(
+        warp_points(jnp.asarray(frame[None], jnp.float32), jnp.asarray(H[None]))
+    )
+    np.testing.assert_allclose(check[0], warped, atol=0.5)
+    assert tuple(patch_shape) == (320, 240)
+    # difficulty 0 degenerates to the pure frame->patch scaling
+    H0, frame0, warped0, _ = sample_homography_corners(
+        (640, 480), (320, 240), difficulty=0.0, rng=rng
+    )
+    np.testing.assert_allclose(
+        warped0, np.array([[0, 0], [0, 240], [320, 240], [320, 0]]), atol=1e-3
+    )
 
 
 def test_epipolar_distance_zero_on_gt():

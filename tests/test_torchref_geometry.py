@@ -76,6 +76,31 @@ def test_warp_points_parity():
         np.testing.assert_allclose(mine, ref, rtol=1e-3, atol=1e-2)
 
 
+@pytest.mark.parametrize("difficulty,translation", [(1.0, 0.4), (0.8, 1.0), (0.5, 0.5), (0.0, 0.4)])
+def test_sample_homography_corners_same_rng_parity(difficulty, translation):
+    """Feeding both samplers the same RandomState must give identical
+    H / corners over many seeds — pins the stage-1 training-data
+    distribution to the reference's (homography.py:40-107)."""
+    for seed in range(25):
+        kwargs = dict(
+            difficulty=difficulty,
+            translation=translation,
+            n_angles=10,
+            max_angle=60,
+            min_convexity=0.05,
+        )
+        H_r, full_r, warped_r, ps_r = ref_hom.sample_homography_corners(
+            (640, 480), (320, 240), rng=np.random.RandomState(seed), **kwargs
+        )
+        H_m, full_m, warped_m, ps_m = my_hom.sample_homography_corners(
+            (640, 480), (320, 240), rng=np.random.RandomState(seed), **kwargs
+        )
+        np.testing.assert_allclose(H_m, H_r, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(full_m, full_r)
+        np.testing.assert_allclose(warped_m, warped_r, rtol=1e-4, atol=1e-3)
+        assert tuple(ps_m) == tuple(ps_r)
+
+
 def test_homography_errors_parity():
     rng = np.random.default_rng(1)
     B, N = 2, 30
