@@ -139,12 +139,17 @@ class BaseDataset:
         if distributed:
             import jax
 
+            # drop_last on train keeps per-process shards disjoint when the
+            # dataset size is not divisible by process_count (the sampler
+            # would otherwise pad with duplicated indices); matches reference
+            # base_dataset.py:166-169 semantics
             sampler = torch_data.distributed.DistributedSampler(
                 dataset,
                 num_replicas=jax.process_count(),
                 rank=jax.process_index(),
                 shuffle=shuffle,
                 seed=self.conf.seed,
+                drop_last=split == "train",
             )
             kwargs["sampler"] = sampler
             shuffle = False

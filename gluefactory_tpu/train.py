@@ -519,8 +519,12 @@ def training(conf: Config, output_dir: Path, args):
     output_dir.mkdir(parents=True, exist_ok=True)
 
     rng_key = set_seed(conf.train.seed)
+    # multi-host: exactly one process owns filesystem side effects
+    # (checkpoints, tensorboard, benchmarks, snapshots) — reference
+    # train.py:407-429,592-635 gates the same set on rank 0
+    is_main = jax.process_index() == 0
     writer = None
-    if not args.no_tensorboard:
+    if not args.no_tensorboard and is_main:
         try:
             from tensorboardX import SummaryWriter
 
@@ -563,7 +567,10 @@ def training(conf: Config, output_dir: Path, args):
             conf.train.device_augment,
         )
     init_rng, sample_rng, rng_key = jax.random.split(rng_key, 3)
-    with jax.default_device(jax.devices()[0]):
+    # local_devices: in multi-process runs jax.devices()[0] is process 0's
+    # device — non-addressable elsewhere (placing init there segfaults the
+    # CPU client on other processes)
+    with jax.default_device(jax.local_devices()[0]):
         variables = model.init(
             {"params": init_rng, "sample": sample_rng}, init_batch_dev, method="initialize"
         )
@@ -607,25 +614,31 @@ def training(conf: Config, output_dir: Path, args):
         train_step = jax.jit(make_multi_step(base_step, k_steps))
     else:
         train_step = jax.jit(base_step)
+    # replicated outputs: per-element metric/PR arrays are batch-sharded over
+    # the global mesh; the epoch-end accumulators run on the host, and on
+    # multi-host a process can only fetch fully-replicated global arrays —
+    # this out_sharding compiles the all-gather into the eval step
     eval_step = jax.jit(
         make_eval_step(
             model,
             conf.train.device_augment,
             pr_curves=(conf.train.pr_curves or {}),
-        )
+        ),
+        out_shardings=NamedSharding(mesh, P()),
     )
 
     # save resolved conf + a source snapshot for reproducibility
     # (role of reference train.py:723-726 module-source snapshotting)
-    with open(output_dir / "config.yaml", "w") as f:
-        f.write(conf.to_yaml())
-    try:
-        import shutil
+    if is_main:
+        with open(output_dir / "config.yaml", "w") as f:
+            f.write(conf.to_yaml())
+        try:
+            import shutil
 
-        pkg_dir = Path(__file__).parent
-        shutil.make_archive(str(output_dir / "source_snapshot"), "gztar", pkg_dir)
-    except Exception as e:
-        logger.warning("source snapshot failed: %s", e)
+            pkg_dir = Path(__file__).parent
+            shutil.make_archive(str(output_dir / "source_snapshot"), "gztar", pkg_dir)
+        except Exception as e:
+            logger.warning("source snapshot failed: %s", e)
 
     total_iter = iter0
     stop = False
@@ -635,12 +648,20 @@ def training(conf: Config, output_dir: Path, args):
         for epoch in range(epoch0, conf.train.epochs):
             if stop:
                 break
-            # per-epoch dataset resampling hook (reference train.py:443-455)
+            # per-epoch dataset resampling hook (reference train.py:443-455);
+            # the recreated loader must stay distributed (per-host shards)
             cb = conf.train.dataset_callback_fn
             if cb and hasattr(dataset, cb):
                 getattr(dataset, cb)(conf.train.seed + epoch)
-                train_loader = dataset.get_data_loader("train")
+                train_loader = dataset.get_data_loader(
+                    "train", distributed=not args.overfit and jax.process_count() > 1
+                )
             dataset.epoch = epoch
+            # new shuffle permutation per epoch for distributed samplers
+            # (reference train.py:441-442)
+            sampler = getattr(train_loader, "sampler", None)
+            if hasattr(sampler, "set_epoch"):
+                sampler.set_epoch(epoch)
 
             t_start = time.time()
             n_samples = 0
@@ -752,8 +773,8 @@ def training(conf: Config, output_dir: Path, args):
                     break
                 total_iter += 1
 
-            # per-epoch benchmark runs (reference train.py:409-429)
-            for bench_name in conf.train.run_benchmarks or []:
+            # per-epoch benchmark runs (reference train.py:409-429; rank 0)
+            for bench_name in (conf.train.run_benchmarks or []) if is_main else []:
                 try:
                     from .eval import run_benchmark
 
@@ -772,21 +793,24 @@ def training(conf: Config, output_dir: Path, args):
                 except Exception as e:
                     logger.warning("benchmark %s failed: %s", bench_name, e)
 
-            # end of epoch: checkpoint
-            state = {
-                "params": variables["params"],
-                "batch_stats": variables.get("batch_stats", {}),
-                "opt_state": opt_state,
-            }
-            results_scalar = {k: v for k, v in results.items() if np.isscalar(v)}
-            path = save_checkpoint(
-                state, conf, results_scalar, output_dir, epoch, total_iter,
-                interrupted=stop and sig.stop,
-            )
-            best_eval = update_best_checkpoint(
-                path, results_scalar, conf.train.best_key, best_eval
-            )
-            delete_old_checkpoints(output_dir, conf.train.keep_last_checkpoints)
+            # end of epoch: checkpoint — only the main process writes
+            # (params are replicated; concurrent writers on shared storage
+            # would race, reference train.py:592-635)
+            if is_main:
+                state = {
+                    "params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                    "opt_state": opt_state,
+                }
+                results_scalar = {k: v for k, v in results.items() if np.isscalar(v)}
+                path = save_checkpoint(
+                    state, conf, results_scalar, output_dir, epoch, total_iter,
+                    interrupted=stop and sig.stop,
+                )
+                best_eval = update_best_checkpoint(
+                    path, results_scalar, conf.train.best_key, best_eval
+                )
+                delete_old_checkpoints(output_dir, conf.train.keep_last_checkpoints)
 
     logger.info("Finished training.")
     if writer:

@@ -5,6 +5,12 @@ loading (role of the reference's DDP spawn + DistributedSampler,
 
 Asserts per-process dataset shards are disjoint + covering and that the
 replicated loss / updated-param norm agree bit-exactly across processes.
+
+Then each process runs the REAL `training()` loop against shared storage:
+2 epochs with per-epoch checkpoints, then `--restore` + 1 more epoch —
+asserting rank-0-only side effects (exactly one checkpoint writer, reference
+train.py:407-429,592-635) and bit-identical restored/final params on both
+processes.
 """
 
 import sys
