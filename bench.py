@@ -60,7 +60,14 @@ def main():
                 "trainable": False,
                 "quantize": QUANTIZE if QUANTIZE != "none" else None,
             },
-            "matcher": {"name": "lightglue", "n_layers": 9, "checkpointed": False},
+            "matcher": {
+                "name": "lightglue",
+                "n_layers": 9,
+                "checkpointed": False,
+                # int8 descriptor similarity in the assignment head
+                # (BENCH_INT8_SIM=1; measured lever, see ROADMAP perf log)
+                "int8_similarity": os.environ.get("BENCH_INT8_SIM", "0") == "1",
+            },
         }
     )
 
@@ -216,16 +223,19 @@ def bench_pruned(jax, jnp, model, variables, batch):
             else x,
             lgvars,
         )
-    mparams = dict(lgvars["params"])
-    for i in range(8):
-        tc = dict(mparams[f"token_confidence_{i}"])
-        tok = dict(tc["token"])
-        bias = 20.0 if i >= EXIT_LAYERS - 1 else -20.0
-        tok["bias"] = jnp.full_like(tok["bias"], bias)
-        tok["kernel"] = jnp.zeros_like(tok["kernel"])
-        tc["token"] = tok
-        mparams[f"token_confidence_{i}"] = tc
-    serving_fn = make_serving_fn(lg, {"params": mparams})
+    def forced_exit_params(exit_layers: int) -> dict:
+        """Bias the confidence heads so every item exits after
+        `exit_layers` of the 9 layers."""
+        mparams = dict(lgvars["params"])
+        for i in range(8):
+            tc = dict(mparams[f"token_confidence_{i}"])
+            tok = dict(tc["token"])
+            bias = 20.0 if i >= exit_layers - 1 else -20.0
+            tok["bias"] = jnp.full_like(tok["bias"], bias)
+            tok["kernel"] = jnp.zeros_like(tok["kernel"])
+            tc["token"] = tok
+            mparams[f"token_confidence_{i}"] = tc
+        return mparams
 
     # extractor-only pipeline (no matcher) produces the suffixed features
     extract = get_model("two_view_pipeline").from_conf(
@@ -242,50 +252,63 @@ def bench_pruned(jax, jnp, model, variables, batch):
     )
     evars = {"params": {"extractor_model": variables["params"]["extractor_model"]}}
 
-    def one_pass(batch, carry):
-        b = dict(batch)
-        b["view0"] = dict(b["view0"])
-        b["view0"]["image"] = b["view0"]["image"] + (carry * 1e-12).astype(
-            b["view0"]["image"].dtype
-        )
-        feats = extract.apply(evars, b, rngs={"sample": jax.random.key(2)})
-        out = serving_fn({**b, **feats})
-        return (
-            out["matching_scores0"].astype(jnp.float32).sum() * 1e-20,
-            out["exit_layer"],
-        )
-
     from functools import partial
 
+    # the matcher params are a jit ARGUMENT (not closure constants), so ONE
+    # compiled program serves every forced exit depth — the while_loop's
+    # data-dependent trip count is what varies between sweep points
     @partial(jax.jit, static_argnames=("n",))
-    def bench_fn(batch, n):
+    def bench_fn(mparams, batch, n):
+        serving_fn = make_serving_fn(lg, {"params": mparams})
+
         def body(carry, _):
-            c, exit_layer = one_pass(batch, carry)
-            return c, exit_layer
+            b = dict(batch)
+            b["view0"] = dict(b["view0"])
+            b["view0"]["image"] = b["view0"]["image"] + (carry * 1e-12).astype(
+                b["view0"]["image"].dtype
+            )
+            feats = extract.apply(evars, b, rngs={"sample": jax.random.key(2)})
+            out = serving_fn({**b, **feats})
+            return (
+                out["matching_scores0"].astype(jnp.float32).sum() * 1e-20,
+                out["exit_layer"],
+            )
 
         carry, exits = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return carry, exits[-1]
 
-    compiled = bench_fn.lower(batch, n=ITERS).compile()
-    _, exits = compiled(batch)
-    exits = np.asarray(exits)
+    mparams0 = forced_exit_params(EXIT_LAYERS)
+    compiled = bench_fn.lower(mparams0, batch, n=ITERS).compile()
 
-    t0 = time.perf_counter()
-    carry, _ = compiled(batch)
-    float(carry)
-    dtN = time.perf_counter() - t0
-    pairs_per_sec = BATCH * ITERS / dtN
+    def measure(mparams):
+        _, exits = compiled(mparams, batch)  # warm + fetch realized exits
+        exits = np.asarray(exits)
+        t0 = time.perf_counter()
+        carry, _ = compiled(mparams, batch)
+        float(carry)
+        dtN = time.perf_counter() - t0
+        return BATCH * ITERS / dtN, int(exits.max()) + 1
+
+    pairs_per_sec, realized = measure(mparams0)
+
+    # pairs/s-vs-exit-depth curve (one compile, varying trip counts)
+    sweep = []
+    for k in (3, 5, 7, 9):
+        pps, depth = measure(forced_exit_params(k))
+        sweep.append({"exit_layers": depth, "pairs_per_sec": round(pps, 2)})
 
     return {
         "pairs_per_sec": round(pairs_per_sec, 2),
         "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
-        "exit_layers": int(exits.max()) + 1,
+        "exit_layers": realized,
         "depth_confidence": 0.95,
         "width_confidence": 0.99,
+        "sweep": sweep,
         "note": (
             "true early-exit while_loop serving path; exit depth forced to "
             f"{EXIT_LAYERS}/9 via confidence-head bias (random-init weights "
-            "never exit on random inputs; width pruning is mask-inert)"
+            "never exit on random inputs; width pruning is mask-inert); "
+            "`sweep` is the pairs/s-vs-exit-depth curve at 3/5/7/9 layers"
         ),
     }
 

@@ -173,6 +173,7 @@ class TransformerLayer(nn.Module):
 
 class MatchAssignment(nn.Module):
     dim: int
+    int8_sim: bool = False
 
     def setup(self):
         # setup-style (not @nn.compact) so `get_matchability` can run the
@@ -186,9 +187,31 @@ class MatchAssignment(nn.Module):
         mdesc1 = self.final_proj(desc1)
         d = self.dim
         scale = 1.0 / d**0.25
-        sim = jnp.einsum(
-            "bmd,bnd->bmn", mdesc0 * scale, mdesc1 * scale, preferred_element_type=jnp.float32
-        )
+        if self.int8_sim:
+            # dynamic per-token symmetric int8 quantization of the projected
+            # descriptors; the M×N similarity runs on the MXU at the int8
+            # rate and is dequantized by the outer product of row scales
+            def quant(x):
+                s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+                s = jnp.maximum(s, 1e-12)
+                q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+                return q, s[..., 0]
+
+            q0, s0 = quant(mdesc0.astype(jnp.float32))
+            q1, s1 = quant(mdesc1.astype(jnp.float32))
+            isim = jnp.einsum(
+                "bmd,bnd->bmn", q0, q1, preferred_element_type=jnp.int32
+            )
+            sim = isim.astype(jnp.float32) * (
+                (s0[:, :, None] * s1[:, None, :]) * (scale * scale)
+            )
+        else:
+            sim = jnp.einsum(
+                "bmd,bnd->bmn",
+                mdesc0 * scale,
+                mdesc1 * scale,
+                preferred_element_type=jnp.float32,
+            )
         z0 = self.matchability(desc0).squeeze(-1).astype(jnp.float32)
         z1 = self.matchability(desc1).squeeze(-1).astype(jnp.float32)
         scores = sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
@@ -210,6 +233,15 @@ class TokenConfidence(nn.Module):
         return jax.nn.sigmoid(l0), jax.nn.sigmoid(l1)
 
 
+# Minimum keypoint count for adaptive pruning to pay for itself (role of the
+# reference's device-keyed `pruning_keypoint_thresholds`,
+# lightglue.py:572-576: cpu/mps -1, cuda 1024, flash 1536). The TPU entry is
+# measured on v5e via the serving-path sweep (scripts_dev/profile_serving
+# sweep recorded in ROADMAP.md / BENCH_r04): the while-loop serving path wins
+# from ~512 keypoints up; below that the dense 9-layer program is faster.
+PRUNING_KEYPOINT_THRESHOLDS = {"cpu": -1, "cuda": 1024, "tpu": 512}
+
+
 class LightGlue(BaseModel):
     default_conf = {
         "input_dim": 256,
@@ -220,6 +252,13 @@ class LightGlue(BaseModel):
         "flash": True,  # use the fused Pallas attention kernel on TPU
         "depth_confidence": -1.0,  # early-exit confidence (masked variant)
         "width_confidence": -1.0,  # point-pruning confidence (masked variant)
+        # below this many keypoints adaptive pruning LOSES time (reference
+        # lightglue.py:572-576 device table); "auto" resolves per backend via
+        # PRUNING_KEYPOINT_THRESHOLDS, an int overrides, -1 never guards
+        "pruning_min_kpts": "auto",
+        # int8 descriptor similarity in the assignment head (dynamic
+        # per-token quantization; MXU int8 rate) — perf lever, off by default
+        "int8_similarity": False,
         "filter_threshold": 0.1,
         "checkpointed": True,
         "weights": None,
@@ -246,7 +285,11 @@ class LightGlue(BaseModel):
             for i in range(c.n_layers)
         ]
         self.log_assignment = [
-            MatchAssignment(c.descriptor_dim, name=f"log_assignment_{i}")
+            MatchAssignment(
+                c.descriptor_dim,
+                int8_sim=bool(c.int8_similarity),
+                name=f"log_assignment_{i}",
+            )
             for i in range(c.n_layers)
         ]
         self.token_confidence = [
@@ -280,6 +323,10 @@ class LightGlue(BaseModel):
         # conf.flash reaches the attention call sites as a module attribute
         # on each TransformerLayer (threaded, not a module-global toggle)
         do_prune = not train and (c.depth_confidence > 0 or c.width_confidence > 0)
+        # pruning loses time on small problems (reference lightglue.py:572-576
+        # device guard); static shapes make this a trace-time decision
+        if do_prune and max(kpts0.shape[1], kpts1.shape[1]) < self.pruning_min_kpts():
+            do_prune = False
         if do_prune:
             scores, prune0, prune1 = self._pruned_forward(
                 desc0, desc1, enc0, enc1, mask0, mask1
@@ -313,6 +360,14 @@ class LightGlue(BaseModel):
             pred["prune0"] = prune0
             pred["prune1"] = prune1
         return pred
+
+    def pruning_min_kpts(self) -> int:
+        """Resolved pruning guard threshold (reference lightglue.py:572-576;
+        conf "auto" -> per-backend table, int -> fixed, -1 -> no guard)."""
+        v = self.conf.pruning_min_kpts
+        if v == "auto":
+            return PRUNING_KEYPOINT_THRESHOLDS.get(jax.default_backend(), -1)
+        return int(v)
 
     def _confidence_threshold(self, layer_index: int) -> float:
         """Per-layer confidence threshold (reference `lightglue.py:540-544`)."""

@@ -101,6 +101,35 @@ def make_serving_fn(model, variables):
         N = desc1.shape[1]
         active0 = mask0 if mask0 is not None else jnp.ones((B, M), bool)
         active1 = mask1 if mask1 is not None else jnp.ones((B, N), bool)
+
+        min_kpts = model.pruning_min_kpts()
+        if max(M, N) < min_kpts:
+            # pruning loses time on small problems (reference
+            # lightglue.py:572-576 device guard): run the dense program —
+            # static shapes make this a trace-time decision
+            d0, d1 = desc0, desc1
+            for i in range(n):
+                tp = jax.tree.map(lambda x, i=i: x[i], tf_stack)
+                d0, d1 = layer.apply(
+                    {"params": tp}, d0, d1, enc0, enc1, active0, active1
+                )
+            ap = jax.tree.map(lambda x: x[n - 1], as_stack)
+            scores, _, _, _ = assign.apply(
+                {"params": ap}, d0, d1, active0, active1
+            )
+            m0, m1, mscores0, mscores1 = filter_matches(
+                scores, c.filter_threshold, mask0, mask1
+            )
+            return {
+                "log_assignment": scores,
+                "matches0": m0,
+                "matches1": m1,
+                "matching_scores0": mscores0,
+                "matching_scores1": mscores1,
+                "prune0": jnp.full((B, M), n, jnp.int32),
+                "prune1": jnp.full((B, N), n, jnp.int32),
+                "exit_layer": jnp.full((B,), n - 1, jnp.int32),
+            }
         prune0 = jnp.ones((B, M), jnp.int32)
         prune1 = jnp.ones((B, N), jnp.int32)
         stopped = jnp.zeros((B,), bool)

@@ -105,3 +105,58 @@ def test_superpoint_int8_train_falls_back():
         np.asarray(out_q["keypoint_scores"]), np.asarray(out_fp["keypoint_scores"]),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_int8_similarity_matcher_close_to_fp():
+    """`int8_similarity` (dynamic per-token quantization of the assignment
+    similarity) must track the fp path closely and stay mask-inert."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.models import get_model
+
+    rng = np.random.default_rng(0)
+    B, M, N, D = 2, 48, 40, 64
+    size = jnp.tile(jnp.asarray([[100.0, 100.0]], jnp.float32), (B, 1))
+    data = {
+        "keypoints0": jnp.asarray(rng.uniform(0, 100, (B, M, 2)), jnp.float32),
+        "keypoints1": jnp.asarray(rng.uniform(0, 100, (B, N, 2)), jnp.float32),
+        "descriptors0": jnp.asarray(rng.normal(size=(B, M, D)), jnp.float32),
+        "descriptors1": jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32),
+        "keypoint_mask0": jnp.asarray(rng.uniform(size=(B, M)) > 0.2),
+        "keypoint_mask1": jnp.asarray(rng.uniform(size=(B, N)) > 0.2),
+        "view0": {"image_size": size},
+        "view1": {"image_size": size},
+    }
+    conf = {
+        "n_layers": 2, "input_dim": D, "descriptor_dim": D, "num_heads": 2,
+        "flash": False, "checkpointed": False,
+    }
+    model_fp = get_model("lightglue").from_conf(conf)
+    model_q = get_model("lightglue").from_conf({**conf, "int8_similarity": True})
+    variables = model_fp.init({"params": jax.random.key(0)}, data)
+    pred_fp = model_fp.apply(variables, data)
+    pred_q = model_q.apply(variables, data)
+    a = np.asarray(pred_fp["log_assignment"])
+    b = np.asarray(pred_q["log_assignment"])
+    # log-domain scores: small quantization error, same argmax structure
+    m0f, m0q = np.asarray(pred_fp["matches0"]), np.asarray(pred_q["matches0"])
+    assert (m0f == m0q).mean() > 0.95, (m0f, m0q)
+    mask = np.isfinite(a) & np.isfinite(b) & (a > -20)
+    err = np.abs(a - b)[mask]
+    # log-softmax amplifies the ~1/127 quantization step; bound the tail and
+    # the bulk separately
+    assert err.max() < 0.5, err.max()
+    assert err.mean() < 0.05, err.mean()
+
+    # mask-inertness: garbage in masked slots must not change valid outputs
+    data2 = dict(data)
+    data2["descriptors0"] = jnp.where(
+        data["keypoint_mask0"][..., None], data["descriptors0"], 1e3
+    )
+    pred_q2 = model_q.apply(variables, data2)
+    valid = np.asarray(data["keypoint_mask0"])
+    np.testing.assert_array_equal(
+        np.asarray(pred_q["matches0"])[valid],
+        np.asarray(pred_q2["matches0"])[valid],
+    )

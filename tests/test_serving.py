@@ -139,3 +139,56 @@ def test_serving_mixed_exit_depths():
         atol=1e-5,
     )
     np.testing.assert_array_equal(serve["prune0"], ref["prune0"])
+
+
+def test_pruning_min_kpts_guard():
+    """Below `pruning_min_kpts` the pruned/serving paths fall back to the
+    dense program (reference lightglue.py:572-576 device guard): identical
+    outputs to a no-pruning model, no prune keys / full-depth exit."""
+    base = {
+        "n_layers": 3,
+        "input_dim": 64,
+        "descriptor_dim": 64,
+        "num_heads": 2,
+        "flash": False,
+        "checkpointed": False,
+        "filter_threshold": 0.1,
+    }
+    rng = np.random.default_rng(3)
+    data = _make_data(rng)  # M=24 < 128 -> guarded
+
+    pruned_conf = {**base, "depth_confidence": 0.5, "width_confidence": 0.5,
+                   "pruning_min_kpts": 128}
+    model_p = get_model("lightglue").from_conf(pruned_conf)
+    # init through the unguarded model so ALL per-layer params exist (the
+    # guarded trace only touches the dense subset)
+    model_full = get_model("lightglue").from_conf(
+        {**pruned_conf, "pruning_min_kpts": -1}
+    )
+    variables = model_full.init({"params": jax.random.key(0)}, data)
+    pred_p = model_p.apply(variables, data)
+    assert "prune0" not in pred_p  # guard disabled pruning entirely
+
+    model_d = get_model("lightglue").from_conf(base)
+    pred_d = model_d.apply(variables, data)
+    np.testing.assert_array_equal(pred_p["matches0"], pred_d["matches0"])
+    np.testing.assert_allclose(
+        np.asarray(pred_p["log_assignment"]),
+        np.asarray(pred_d["log_assignment"]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    # serving path: dense fallback, full-depth exit, prune = n everywhere
+    serve = jax.jit(make_serving_fn(model_p, variables))(data)
+    assert serve["exit_layer"].tolist() == [2, 2]
+    assert (np.asarray(serve["prune0"]) == 3).all()
+    np.testing.assert_array_equal(serve["matches0"], pred_d["matches0"])
+    np.testing.assert_allclose(
+        np.asarray(serve["log_assignment"]),
+        np.asarray(pred_d["log_assignment"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # int/-1 override: -1 keeps pruning on regardless of size
+    pred_on = model_full.apply(variables, data)
+    assert "prune0" in pred_on
