@@ -72,6 +72,9 @@ class ETH3DPipeline(EvalPipeline):
         },
         "eval": {"plot_methods": [], "plot_line_methods": [], "eval_lines": False},
         "checkpoint": None,
+        # group N items into one padded device dispatch during export
+        # (relay-latency amortization; None = per-loader-batch)
+        "items_per_dispatch": None,
     }
     export_keys = [
         "keypoints0", "keypoints1",
@@ -102,6 +105,7 @@ class ETH3DPipeline(EvalPipeline):
                 pred_file,
                 keys=self.export_keys + self.optional_export_keys,
                 trim_masks=True,
+                items_per_dispatch=self.conf.get("items_per_dispatch"),
             )
         return pred_file
 

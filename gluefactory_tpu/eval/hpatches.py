@@ -65,6 +65,9 @@ class HPatchesPipeline(EvalPipeline):
             "ransac_th": 0.5,  # <=0 sweeps thresholds, best by mAA
         },
         "checkpoint": None,
+        # group N items into one padded device dispatch during export
+        # (relay-latency amortization; None = per-loader-batch)
+        "items_per_dispatch": None,
     }
     export_keys = [
         "keypoints0", "keypoints1",
@@ -95,6 +98,7 @@ class HPatchesPipeline(EvalPipeline):
                 apply_fn,
                 pred_file,
                 keys=self.export_keys + self.optional_export_keys,
+                items_per_dispatch=self.conf.get("items_per_dispatch"),
             )
         return pred_file
 

@@ -60,6 +60,9 @@ class MegaDepth1500Pipeline(EvalPipeline):
             "ransac_th": 0.5,  # <=0 sweeps
         },
         "checkpoint": None,
+        # group N items into one padded device dispatch during export
+        # (relay-latency amortization; None = per-loader-batch)
+        "items_per_dispatch": None,
     }
     export_keys = [
         "keypoints0", "keypoints1",
@@ -83,6 +86,7 @@ class MegaDepth1500Pipeline(EvalPipeline):
             export_predictions(
                 self.get_dataloader(self.conf.get("data")), apply_fn, pred_file,
                 keys=self.export_keys,
+                items_per_dispatch=self.conf.get("items_per_dispatch"),
             )
         return pred_file
 

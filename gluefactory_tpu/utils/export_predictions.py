@@ -103,6 +103,56 @@ def trim_masked(pred: dict) -> dict:
     return out
 
 
+def _index_tree(tree, b: int):
+    """Take the b-th item of every leaf (arrays AND lists, e.g. `name`)."""
+    if isinstance(tree, dict):
+        return {k: _index_tree(v, b) for k, v in tree.items()}
+    if isinstance(tree, np.ndarray):
+        return tree[b]
+    if isinstance(tree, (list, tuple)):
+        return tree[b]
+    return tree
+
+
+def _split_items(batch: dict):
+    """Split a collated batch (leading dim B) into B unbatched item dicts."""
+    sizes = [
+        len(v)
+        for v in batch.values()
+        if isinstance(v, (np.ndarray, list)) and not isinstance(v, str)
+    ]
+    bsz = sizes[0] if sizes else 1
+    return [_index_tree(map_tensor(batch, np.asarray), b) for b in range(bsz)]
+
+
+def _group_collate(items: list[dict]):
+    """Re-collate unbatched item dicts into one batch. Items in a group share
+    shapes by construction (`_shape_signature` bucketing)."""
+    elem = items[0]
+    if isinstance(elem, dict):
+        return {k: _group_collate([it[k] for it in items]) for k in elem}
+    if isinstance(elem, (str, bytes)):
+        return list(items)
+    if isinstance(elem, np.ndarray) or np.isscalar(elem):
+        return np.stack([np.asarray(it) for it in items], axis=0)
+    return list(items)
+
+
+def _shape_signature(item) -> tuple:
+    """Hashable signature of every array leaf's shape+dtype. Grouping only
+    same-signature items keeps grouped results BIT-identical to per-item
+    dispatch: zero-padding mixed resolutions instead would change the conv
+    spatial dims and therefore XLA's reduction orders, flipping the rank of
+    near-tied detection scores (measured: same-shape batching is exact, mixed
+    pad+mask is not). Bucketing also adds no compilations beyond what
+    per-item dispatch already pays per distinct shape."""
+    if isinstance(item, dict):
+        return tuple((k, _shape_signature(v)) for k, v in sorted(item.items()))
+    if isinstance(item, np.ndarray):
+        return (item.shape, str(item.dtype))
+    return type(item).__name__
+
+
 def export_predictions(
     loader,
     apply_fn,
@@ -111,42 +161,83 @@ def export_predictions(
     keys: str | list = "*",
     callback_fn=None,
     trim_masks: bool = True,
+    items_per_dispatch: int | None = None,
 ):
-    """Run `apply_fn(prepared_batch) -> pred (numpy dict, unbatched)` over the
-    loader and cache results. apply_fn owns jit/device placement."""
+    """Run `apply_fn(prepared_batch) -> pred (numpy dict, batched)` over the
+    loader and cache results. apply_fn owns jit/device placement.
+
+    `items_per_dispatch` groups that many same-shape items (bucketed by
+    `_shape_signature`) into one batch per device dispatch (reference loop-1
+    semantics are per-item, `export_predictions.py:17-81`; grouping amortizes
+    the per-dispatch round-trip of relayed TPUs — cf. training's
+    `steps_per_dispatch`). The written cache is item-for-item BIT-identical
+    to per-item dispatch (same-shape batching does not change XLA numerics):
+    results are unbatched, masked slots trimmed, and keypoints un-scaled per
+    item. Trailing partial buckets are padded by repeating the last item
+    (compile count stays at one per distinct shape); the duplicates' outputs
+    are dropped. The default (None) dispatches each loader batch as-is.
+    Combine with `preprocessing.pad_to_multiple` (or a fixed resize) to keep
+    the number of shape buckets small.
+    """
     output_file = Path(output_file)
     output_file.parent.mkdir(exist_ok=True, parents=True)
-    with h5py.File(str(output_file), "w") as hfile:
-        for i, batch in enumerate(loader):
-            prepared = prepare_batch(batch)
-            pred = apply_fn(prepared)
-            # unbatch
-            pred = map_tensor(pred, lambda x: np.asarray(x)[0])
-            data_i = map_tensor(
-                {k: v for k, v in batch.items() if k.startswith("view") or k == "scales"},
-                lambda x: np.asarray(x)[0],
-            )
+    buckets: dict[tuple, list] = {}
+    n_written = 0
+
+    def flush(group, hfile):
+        nonlocal n_written
+        n_real = len(group)
+        if n_real == 0:
+            return
+        pad_to = items_per_dispatch or n_real
+        batch = _group_collate(group + [group[-1]] * (pad_to - n_real))
+        pred = apply_fn(prepare_batch(batch))
+        pred = map_tensor(pred, np.asarray)
+        for b in range(n_real):
+            item = group[b]
+            pred_b = map_tensor(pred, lambda x: x[b])
+            data_b = {
+                k: v for k, v in item.items()
+                if k.startswith("view") or k == "scales"
+            }
             if keys != "*":
-                pred = {k: v for k, v in pred.items() if k in keys}
+                pred_b = {k: v for k, v in pred_b.items() if k in keys}
             if callback_fn is not None:
-                pred = {**callback_fn(pred, map_tensor(batch, lambda x: np.asarray(x)[0])), **pred}
+                pred_b = {**callback_fn(pred_b, item), **pred_b}
             if trim_masks:
-                pred = trim_masked(pred)
-            pred = unscale_keypoints(pred, data_i)
+                pred_b = trim_masked(pred_b)
+            pred_b = unscale_keypoints(pred_b, data_b)
             if as_half:
-                for k, v in pred.items():
+                for k, v in pred_b.items():
                     if isinstance(v, np.ndarray) and v.dtype == np.float32:
-                        pred[k] = v.astype(np.float16)
-            name = batch["name"][0] if "name" in batch else str(i)
+                        pred_b[k] = v.astype(np.float16)
+            name = item.get("name", str(n_written))
             try:
                 grp = hfile.create_group(str(name))
             except ValueError:
-                grp = hfile.create_group(f"{name}_{i}")
-            for k, v in pred.items():
+                grp = hfile.create_group(f"{name}_{n_written}")
+            for k, v in pred_b.items():
                 if isinstance(v, np.ndarray):
                     grp.create_dataset(k, data=v)
-            if i % 50 == 0:
-                logger.info("Exported %d items", i)
+            if n_written % 50 == 0:
+                logger.info("Exported %d items", n_written)
+            n_written += 1
+
+    gsize = items_per_dispatch
+    with h5py.File(str(output_file), "w") as hfile:
+        for batch in loader:
+            items = _split_items(batch)
+            if gsize is None:  # dispatch loader batches as-is
+                flush(items, hfile)
+                continue
+            for item in items:
+                bucket = buckets.setdefault(_shape_signature(item), [])
+                bucket.append(item)
+                if len(bucket) >= gsize:
+                    flush(bucket, hfile)
+                    bucket.clear()
+        for bucket in buckets.values():
+            flush(bucket, hfile)
     return output_file
 
 
