@@ -443,9 +443,23 @@ def main():
     parser.add_argument("model", choices=sorted(CONVERTERS))
     parser.add_argument("torch_path")
     parser.add_argument("out_path")
+    parser.add_argument(
+        "--extra",
+        default=None,
+        help="secondary torch checkpoint for converters that need one "
+        "(roma: the official dinov2_vitl14_pretrain.pth)",
+    )
     args = parser.parse_args()
     sd = load_torch_state_dict(args.torch_path)
-    out = CONVERTERS[args.model](sd)
+    import inspect
+
+    fn = CONVERTERS[args.model]
+    if args.extra is not None:
+        if "extra_sd" not in inspect.signature(fn).parameters:
+            parser.error(f"converter {args.model!r} takes no --extra checkpoint")
+        out = fn(sd, extra_sd=load_torch_state_dict(args.extra))
+    else:
+        out = fn(sd)
     if isinstance(out, tuple):
         params, batch_stats = out
     else:
@@ -886,3 +900,370 @@ def _convert_deeplsd_cli(sd: dict) -> tuple:
 
 
 CONVERTERS["deeplsd"] = _convert_deeplsd_cli
+
+
+def convert_disk(sd: dict) -> dict:
+    """kornia DISK checkpoint (`DISK.from_pretrained("depth"/"epipolar")`,
+    wrapped by reference `models/extractors/disk_kornia.py:23-24`) ->
+    params for `models/extractors/disk.DISK`.
+
+    Layout reconstructed from the PUBLIC kornia/unets sources (kornia
+    vendors jatentaki/unets under `kornia/feature/disk/unet`); kornia is not
+    installable here, so per-field confidence is documented instead of
+    executed parity (the LoFTR/RoMa converter standard):
+
+      - `unet.path_down.{i}` / `unet.path_up.{i}` block lists — HIGH
+        (DISK's thin U-Net: down [16,32,64,64,64], up [64,64,64,129]).
+      - per-block ConvBlock = Sequential(InstanceNorm2d(affine=False),
+        PReLU(C_in), Conv2d 5x5) at indices 0/1/2, with the FIRST down
+        block skipping the pre-activation (conv at index 0) — MEDIUM
+        (unets `ThinUnetDownBlock(is_first=...)`); both index layouts are
+        accepted for the first block.
+      - PReLU weight broadcast: kornia may store a scalar or per-channel
+        gate; both are accepted (broadcast to C_in) — HIGH.
+
+    Keys that do not match raise, so a real checkpoint with a different
+    naming fails loudly rather than loading garbage.
+    """
+    sd = strip_prefixes(
+        sd, prefixes=("model.", "module.", "extractor.", "unet.")
+    )
+
+    def conv_block(prefix: str, first: bool = False) -> dict:
+        # conv at Sequential index 2 (pre-activated) or 0 (first block)
+        for ci in (2, 0) if first else (2,):
+            if f"{prefix}.{ci}.weight" in sd:
+                break
+        else:
+            raise KeyError(f"no conv weight under {prefix} (tried .2/.0)")
+        out = {
+            "conv": {
+                "kernel": _conv(sd[f"{prefix}.{ci}.weight"]),
+                "bias": _t(sd[f"{prefix}.{ci}.bias"]),
+            }
+        }
+        if ci != 0:
+            gate = _t(sd[f"{prefix}.1.weight"])  # PReLU
+            c_in = out["conv"]["kernel"].shape[2]
+            out["gate"] = np.broadcast_to(gate.reshape(-1), (c_in,)).copy()
+        return out
+
+    n_down = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("path_down.")
+    )
+    n_up = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("path_up."))
+    unet: dict = {}
+    for i in range(n_down):
+        unet[f"down_{i}"] = conv_block(f"path_down.{i}.conv", first=i == 0)
+    for i in range(n_up):
+        unet[f"up_{i}"] = conv_block(f"path_up.{i}.conv")
+    return {"unet": unet}
+
+
+def convert_keynet(sd: dict) -> tuple:
+    """kornia KeyNet checkpoint (`KeyNet(pretrained=True)` / the detector
+    inside `KeyNetHardNet`, wrapped by reference
+    `models/extractors/keynet_affnet_hardnet.py:8-74`) ->
+    (params, batch_stats) for the `keynet` submodule of
+    `extractors/keynet_affnet_hardnet.KeyNetAffNetHardNet`.
+
+    Layout reconstructed from the PUBLIC kornia source
+    (`kornia/feature/keynet.py`); per-field confidence:
+
+      - learnable block = 3 x Sequential(Conv2d 5x5, BatchNorm2d, ReLU)
+        under `feature_extractor.lb_block.conv{i}` — MEDIUM on the exact
+        module path (alternate flat `feature_extractor.{i}` is accepted),
+        HIGH on the conv/bn/relu structure.
+      - `last_conv.0` = Conv2d(levels*filters -> 1, 5x5) — MEDIUM.
+
+    The handcrafted block and the pyramid have no weights.
+    """
+    sd = strip_prefixes(sd, prefixes=("detector.model.", "model.", "module."))
+
+    def find(*cands):
+        for c in cands:
+            if c in sd:
+                return sd[c]
+        raise KeyError(f"none of {cands} in state dict")
+
+    params: dict = {"block": {}}
+    stats: dict = {"block": {}}
+    for i in range(3):
+        w = find(
+            f"feature_extractor.lb_block.conv{i}.0.weight",
+            f"feature_extractor.conv{i}.0.weight",
+            f"feature_extractor.{i}.0.weight",
+        )
+        params["block"][f"conv{i}"] = {"kernel": _conv(w)}
+        bn = lambda suf, i=i: find(
+            f"feature_extractor.lb_block.conv{i}.1.{suf}",
+            f"feature_extractor.conv{i}.1.{suf}",
+            f"feature_extractor.{i}.1.{suf}",
+        )
+        params["block"][f"bn{i}"] = {
+            "scale": _t(bn("weight")),
+            "bias": _t(bn("bias")),
+        }
+        stats["block"][f"bn{i}"] = {
+            "mean": _t(bn("running_mean")),
+            "var": _t(bn("running_var")),
+        }
+    params["last_conv"] = {
+        "kernel": _conv(find("last_conv.0.weight", "last_conv.weight")),
+        "bias": _t(find("last_conv.0.bias", "last_conv.bias")),
+    }
+    return params, stats
+
+
+def convert_keynet_hardnet(sd: dict) -> tuple:
+    """Combined kornia `KeyNetHardNet` state dict (detector.* + the
+    LAFDescriptor's HardNet under descriptor.descriptor.*) -> full
+    (params, batch_stats) for `extractors/keynet_affnet_hardnet.
+    KeyNetAffNetHardNet` (submodules `keynet` + `hardnet`), loadable via
+    `model.extractor.weights_file`. Also accepts a KeyNet-only checkpoint
+    (HardNet weights then come from `convert_hardnet` separately)."""
+    kn_params, kn_stats = convert_keynet(sd)
+    params = {"keynet": kn_params}
+    stats = {"keynet": kn_stats}
+    hn_sd = {
+        k.split("descriptor.descriptor.", 1)[1]: v
+        for k, v in sd.items()
+        if "descriptor.descriptor." in k
+    }
+    if hn_sd:
+        hn_params, hn_stats = convert_hardnet(hn_sd)
+        params["hardnet"] = hn_params
+        stats["hardnet"] = hn_stats
+    return params, stats
+
+
+CONVERTERS["disk"] = convert_disk
+CONVERTERS["keynet"] = convert_keynet
+CONVERTERS["keynet_hardnet"] = convert_keynet_hardnet
+
+
+def convert_roma(sd: dict, dinov2_sd: dict | None = None) -> tuple:
+    """romatch `roma_{outdoor,indoor}.pth` (the RegressionMatcher state dict
+    the reference wrapper downloads, `models/matchers/roma.py:190-199`) ->
+    (params, batch_stats) for `matchers/roma.RoMa` (subtree `net`, the
+    native `roma_net.RoMaNet`), loadable via `model.matcher.weights_file`.
+
+    Layout reconstructed from the PUBLIC romatch sources (romatch/models/
+    {model_zoo/roma_models.py, matcher.py, encoders.py, transformer/}); the
+    package cannot be fetched here, so per-field confidence is documented
+    instead of executed parity (the LoFTR/DISK converter standard):
+
+      - `encoder.cnn.layers.{i}.*` — torchvision `vgg19_bn().features`
+        indices (conv at i, BN at i+1, the first four blocks) — HIGH: our
+        flax module names carry the same indices by construction.
+      - DINOv2 is NOT in the romatch checkpoint (romatch hides it from
+        state_dict via a list wrapper, encoders.py `CNNandDinov2`); pass the
+        official `dinov2_vitl14_pretrain.pth` as `dinov2_sd` (CLI:
+        `--extra`). Embedded `encoder.dinov2*` keys are also accepted —
+        MEDIUM (exclusion mechanism verified against the public source,
+        but a future romatch may inline it).
+      - `decoder.gps.16.pos_conv.*` — GP Fourier positional conv — HIGH.
+      - `decoder.proj.{16,8,4,2,1}.{0,1}.*` — Sequential(Conv2d 1x1,
+        BatchNorm2d) per scale — HIGH.
+      - `decoder.conv_refiner.{s}.block1.{0,1,3}.*` /
+        `.hidden_blocks.{j}.{0,1,3}.*` — create_block =
+        Sequential(depthwise conv, BN, ReLU, 1x1 conv) — MEDIUM on the
+        Sequential indices (0/1/3), HIGH on the dw/pw split;
+        `.out_conv.*`, `.disp_emb.*` — HIGH.
+      - `decoder.embedding_decoder.blocks.{i}.*` — DINOv2-style ViT blocks
+        (fused timm qkv rows [q;k;v], no LayerScale: init_values=None in
+        roma_models.py) + `.to_out.*` Linear(decoder_dim -> K**2+1, the
+        LAST channel the certainty logit) — MEDIUM on the certainty-channel
+        position, HIGH on the block internals.
+
+    Keys that do not match raise, so a real checkpoint with different
+    naming fails loudly rather than loading garbage.
+    """
+    sd = strip_prefixes(sd, ("model.", "module.", "matcher."))
+    sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    params: dict = {"vgg": {}, "decoder": {}}
+    stats: dict = {"vgg": {}, "decoder": {}}
+
+    # -- fine encoder: VGG19-BN feature indices --------------------------
+    cnn = {k.split("encoder.cnn.layers.", 1)[1]: v
+           for k, v in sd.items() if k.startswith("encoder.cnn.layers.")}
+    if not cnn:  # older/alternate naming: encoder.cnn.{i}.*
+        cnn = {k.split("encoder.cnn.", 1)[1]: v
+               for k, v in sd.items() if k.startswith("encoder.cnn.")}
+    conv_idxs = sorted(
+        int(k.split(".")[0]) for k in cnn
+        if k.endswith(".weight") and np.asarray(cnn[k]).ndim == 4
+    )
+    if not conv_idxs:
+        raise KeyError("no VGG conv weights under encoder.cnn[.layers]")
+    for i in conv_idxs:
+        params["vgg"][f"conv{i}"] = {
+            "kernel": _conv(cnn[f"{i}.weight"]),
+            "bias": np.asarray(cnn[f"{i}.bias"]),
+        }
+        params["vgg"][f"bn{i}"] = {
+            "scale": np.asarray(cnn[f"{i + 1}.weight"]),
+            "bias": np.asarray(cnn[f"{i + 1}.bias"]),
+        }
+        stats["vgg"][f"bn{i}"] = {
+            "mean": np.asarray(cnn[f"{i + 1}.running_mean"]),
+            "var": np.asarray(cnn[f"{i + 1}.running_var"]),
+        }
+
+    # -- coarse encoder: DINOv2 (separate checkpoint or embedded) --------
+    emb = {k.split(".", 2)[2]: v for k, v in sd.items()
+           if k.startswith("encoder.dinov2")}
+    if dinov2_sd is not None:
+        params["dinov2"] = convert_dinov2(dinov2_sd)
+    elif emb:
+        params["dinov2"] = convert_dinov2(emb)
+    else:
+        raise KeyError(
+            "the romatch checkpoint does not embed DINOv2 weights "
+            "(romatch loads them separately); pass the official "
+            "dinov2_vitl14_pretrain.pth as dinov2_sd / --extra"
+        )
+
+    dec = params["decoder"]
+    dec["gp"] = {"pos_conv": {
+        "kernel": _conv(sd["decoder.gps.16.pos_conv.weight"]),
+        "bias": np.asarray(sd["decoder.gps.16.pos_conv.bias"]),
+    }}
+
+    for s in ("16", "8", "4", "2", "1"):
+        p = f"decoder.proj.{s}"
+        dec[f"proj{s}_conv"] = {
+            "kernel": _conv(sd[f"{p}.0.weight"]),
+            "bias": np.asarray(sd[f"{p}.0.bias"]),
+        }
+        dec[f"proj{s}_bn"] = {
+            "scale": np.asarray(sd[f"{p}.1.weight"]),
+            "bias": np.asarray(sd[f"{p}.1.bias"]),
+        }
+        stats["decoder"][f"proj{s}_bn"] = {
+            "mean": np.asarray(sd[f"{p}.1.running_mean"]),
+            "var": np.asarray(sd[f"{p}.1.running_var"]),
+        }
+
+        r = f"decoder.conv_refiner.{s}"
+        ref: dict = {}
+        ref_stats: dict = {}
+
+        def block(prefix, name):
+            ref[f"{name}_dw"] = {
+                "kernel": _conv(sd[f"{prefix}.0.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.0.bias"]),
+            }
+            ref[f"{name}_bn"] = {
+                "scale": np.asarray(sd[f"{prefix}.1.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.1.bias"]),
+            }
+            ref_stats[f"{name}_bn"] = {
+                "mean": np.asarray(sd[f"{prefix}.1.running_mean"]),
+                "var": np.asarray(sd[f"{prefix}.1.running_var"]),
+            }
+            ref[f"{name}_pw"] = {
+                "kernel": _conv(sd[f"{prefix}.3.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.3.bias"]),
+            }
+
+        block(f"{r}.block1", "block1")
+        n_hidden = 1 + max(
+            int(k.split(".hidden_blocks.")[1].split(".")[0])
+            for k in sd if k.startswith(f"{r}.hidden_blocks.")
+        )
+        for j in range(n_hidden):
+            block(f"{r}.hidden_blocks.{j}", f"hidden{j}")
+        ref["out_conv"] = {
+            "kernel": _conv(sd[f"{r}.out_conv.weight"]),
+            "bias": np.asarray(sd[f"{r}.out_conv.bias"]),
+        }
+        ref["disp_emb"] = {
+            "kernel": _conv(sd[f"{r}.disp_emb.weight"]),
+            "bias": np.asarray(sd[f"{r}.disp_emb.bias"]),
+        }
+        dec[f"refiner{s}"] = ref
+        stats["decoder"][f"refiner{s}"] = ref_stats
+
+    # -- anchor decoder (ViT blocks with fused timm qkv) ------------------
+    ed = "decoder.embedding_decoder"
+    n_blocks = 1 + max(
+        int(k.split(f"{ed}.blocks.")[1].split(".")[0])
+        for k in sd if k.startswith(f"{ed}.blocks.")
+    )
+    emdec: dict = {}
+    for i in range(n_blocks):
+        b = f"{ed}.blocks.{i}"
+        qkv_w = np.asarray(sd[f"{b}.attn.qkv.weight"])  # (3D, D)
+        qkv_b = np.asarray(sd[f"{b}.attn.qkv.bias"])
+        D = qkv_w.shape[1]
+        proj_w = np.asarray(sd[f"{b}.attn.proj.weight"])
+        # flax MHA heads: infer from the fused dim later via reshape at load
+        # time is impossible — heads comes from the module conf; emit flat
+        # (D, D) kernels and let `_mha_reshape` fold them below.
+        emdec[f"block{i}"] = {
+            "norm1": {
+                "scale": np.asarray(sd[f"{b}.norm1.weight"]),
+                "bias": np.asarray(sd[f"{b}.norm1.bias"]),
+            },
+            "attn": {
+                "query": {"kernel": _t(qkv_w[:D]), "bias": qkv_b[:D]},
+                "key": {"kernel": _t(qkv_w[D:2 * D]), "bias": qkv_b[D:2 * D]},
+                "value": {"kernel": _t(qkv_w[2 * D:]), "bias": qkv_b[2 * D:]},
+                "out": {"kernel": _t(proj_w),
+                        "bias": np.asarray(sd[f"{b}.attn.proj.bias"])},
+            },
+            "norm2": {
+                "scale": np.asarray(sd[f"{b}.norm2.weight"]),
+                "bias": np.asarray(sd[f"{b}.norm2.bias"]),
+            },
+            "fc1": {"kernel": _t(sd[f"{b}.mlp.fc1.weight"]),
+                    "bias": np.asarray(sd[f"{b}.mlp.fc1.bias"])},
+            "fc2": {"kernel": _t(sd[f"{b}.mlp.fc2.weight"]),
+                    "bias": np.asarray(sd[f"{b}.mlp.fc2.bias"])},
+        }
+    out_w = np.asarray(sd[f"{ed}.to_out.weight"])
+    if out_w.ndim == 4:  # 1x1-conv variant of to_out
+        out_w = out_w[:, :, 0, 0]
+    emdec["to_out"] = {
+        "kernel": _t(out_w),
+        "bias": np.asarray(sd[f"{ed}.to_out.bias"]),
+    }
+    dec["embedding_decoder"] = emdec
+
+    return {"net": params}, {"net": stats}
+
+
+def roma_fold_attention_heads(params: dict, num_heads: int) -> dict:
+    """Fold the anchor decoder's flat (D, D) attention kernels emitted by
+    `convert_roma` into flax MultiHeadDotProductAttention's
+    (D, heads, head_dim) / (heads, head_dim, D) layout. Separate because the
+    head count lives in the model conf, not the checkpoint."""
+    import copy
+
+    params = copy.deepcopy(params)
+    emdec = params["net"]["decoder"]["embedding_decoder"]
+    for name, blk in emdec.items():
+        if not name.startswith("block"):
+            continue
+        attn = blk["attn"]
+        D = np.asarray(attn["query"]["kernel"]).shape[0]
+        hd = D // num_heads
+        for k in ("query", "key", "value"):
+            attn[k]["kernel"] = np.asarray(attn[k]["kernel"]).reshape(
+                D, num_heads, hd
+            )
+            attn[k]["bias"] = np.asarray(attn[k]["bias"]).reshape(num_heads, hd)
+        attn["out"]["kernel"] = np.asarray(attn["out"]["kernel"]).reshape(
+            num_heads, hd, D
+        )
+    return params
+
+
+def _convert_roma_cli(sd: dict, extra_sd: dict | None = None) -> tuple:
+    params, stats = convert_roma(sd, dinov2_sd=extra_sd)
+    # the shipped RoMa conf uses decoder_heads=8 (romatch roma_models.py)
+    return roma_fold_attention_heads(params, num_heads=8), stats
+
+
+CONVERTERS["roma"] = _convert_roma_cli

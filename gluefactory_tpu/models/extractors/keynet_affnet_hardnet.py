@@ -74,11 +74,34 @@ class KeyNetBlock(nn.Module):
         return x
 
 
+def _pyrdown(x: jnp.ndarray, factor: float = 1.2) -> jnp.ndarray:
+    """kornia `pyrdown(x, factor)` semantics: binomial 5-tap Gaussian blur
+    then bilinear resize by 1/factor (KeyNet's scale pyramid uses 1.2, not
+    octaves — kornia keynet.py forward)."""
+    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+
+    def sep_conv(v, kern, axis):
+        shape = [1, 1, 1, 1]
+        shape[axis] = 5
+        return jax.lax.conv_general_dilated(
+            v, kern.reshape(shape[1:3] + [1, 1]), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    x = sep_conv(x, k, 1)
+    x = sep_conv(x, k, 2)
+    B, H, W, C = x.shape
+    nh, nw = max(int(round(H / factor)), 1), max(int(round(W / factor)), 1)
+    return jax.image.resize(x, (B, nh, nw, C), "bilinear")
+
+
 class KeyNet(nn.Module):
-    """Response map from the 3-level pyramid of handcrafted+learned maps."""
+    """Response map from the 3-level (factor-1.2) pyramid of
+    handcrafted+learned maps (kornia `KeyNet.forward`: per-level shared
+    feature extractor, upsample to base size, concat, 5x5 last conv)."""
 
     levels: int = 3
     filters: int = 8
+    pyramid_factor: float = 1.2
 
     @nn.compact
     def __call__(self, img, train: bool = False):
@@ -93,10 +116,9 @@ class KeyNet(nn.Module):
                     f, (B, H, W, self.filters), "bilinear")
             feats.append(f)
             if lv + 1 < self.levels:
-                x = jax.image.resize(
-                    x, (B, x.shape[1] // 2, x.shape[2] // 2, 1), "bilinear")
+                x = _pyrdown(x, self.pyramid_factor)
         y = jnp.concatenate(feats, axis=-1)
-        y = nn.Conv(1, (1, 1), name="last_conv")(y)
+        y = nn.Conv(1, (5, 5), padding="SAME", name="last_conv")(y)
         return nn.relu(y[..., 0])  # (B, H, W)
 
 

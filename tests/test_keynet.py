@@ -137,3 +137,91 @@ def test_hardnet_converter_structure_and_forward():
     stage0 = (stage0 - stats["bn0"]["mean"]) / jnp.sqrt(stats["bn0"]["var"] + 1e-5)
     stage0 = jnp.maximum(stage0, 0.0)
     np.testing.assert_allclose(np.asarray(stage0), y, atol=1e-4)
+
+
+def _fake_keynet_hardnet_sd(rng):
+    """kornia KeyNetHardNet layout: detector.model.feature_extractor.lb_block
+    (3x Sequential(Conv 5x5, BN, ReLU)) + detector.model.last_conv.0 (5x5) +
+    the LAFDescriptor's HardNet under descriptor.descriptor.features.*."""
+    f = lambda *s: rng.normal(0, 0.2, s).astype(np.float32)
+    sd = {}
+    c_in = 10
+    for i in range(3):
+        p = f"detector.model.feature_extractor.lb_block.conv{i}"
+        sd[f"{p}.0.weight"] = f(8, c_in, 5, 5)
+        sd[f"{p}.1.weight"] = f(8) + 1.0
+        sd[f"{p}.1.bias"] = f(8)
+        sd[f"{p}.1.running_mean"] = f(8)
+        sd[f"{p}.1.running_var"] = np.abs(f(8)) + 1.0
+        c_in = 8
+    sd["detector.model.last_conv.0.weight"] = f(1, 24, 5, 5)
+    sd["detector.model.last_conv.0.bias"] = f(1)
+    spec = [(1, 32), (32, 32), (32, 64), (64, 64), (64, 128), (128, 128)]
+    for ci, (cin, cout) in zip((0, 3, 6, 9, 12, 15), spec):
+        sd[f"descriptor.descriptor.features.{ci}.weight"] = f(cout, cin, 3, 3)
+        sd[f"descriptor.descriptor.features.{ci + 1}.running_mean"] = f(cout)
+        sd[f"descriptor.descriptor.features.{ci + 1}.running_var"] = (
+            np.abs(f(cout)) + 1.0
+        )
+    sd["descriptor.descriptor.features.19.weight"] = f(128, 128, 8, 8)
+    sd["descriptor.descriptor.features.20.running_mean"] = f(128)
+    sd["descriptor.descriptor.features.20.running_var"] = np.abs(f(128)) + 1.0
+    return sd
+
+
+def test_keynet_hardnet_converter_roundtrip():
+    """convert_keynet_hardnet output must slot exactly into the full
+    KeyNetAffNetHardNet tree (structure + shapes) and run end-to-end."""
+    from gluefactory_tpu.compat.torch_conversion import convert_keynet_hardnet
+
+    rng = np.random.default_rng(5)
+    sd = _fake_keynet_hardnet_sd(rng)
+    params, stats = convert_keynet_hardnet(sd)
+
+    model = get_model("keynet_affnet_hardnet").from_conf(
+        {"max_num_keypoints": 32, "force_num_keypoints": True}
+    )
+    img = _img(seed=4)
+    init_vars = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        {"image": img},
+    )
+
+    def paths(tree):
+        return {
+            tuple(str(k) for k in p): np.asarray(v).shape
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    assert paths(params) == paths(init_vars["params"])
+    assert paths(stats) == paths(init_vars["batch_stats"])
+    out = model.apply(
+        {"params": params, "batch_stats": stats},
+        {"image": img},
+        rngs={"sample": jax.random.key(2)},
+    )
+    assert out["keypoints"].shape == (1, 32, 2)
+    assert out["descriptors"].shape == (1, 32, 128)
+    assert np.isfinite(np.asarray(out["descriptors"])).all()
+    # the converted conv really went through (not the init weights)
+    np.testing.assert_array_equal(
+        np.asarray(params["keynet"]["last_conv"]["bias"]),
+        sd["detector.model.last_conv.0.bias"],
+    )
+
+
+def test_keynet_converter_accepts_standalone_checkpoint():
+    """A KeyNet-only checkpoint (no detector./descriptor. prefixes) also
+    converts (kornia `KeyNet(pretrained=True)` layout)."""
+    from gluefactory_tpu.compat.torch_conversion import convert_keynet
+
+    rng = np.random.default_rng(6)
+    sd = {
+        k.split("detector.model.", 1)[1]: v
+        for k, v in _fake_keynet_hardnet_sd(rng).items()
+        if k.startswith("detector.model.")
+    }
+    params, stats = convert_keynet(sd)
+    assert set(params) == {"block", "last_conv"}
+    assert params["block"]["conv0"]["kernel"].shape == (5, 5, 10, 8)
+    assert stats["block"]["bn2"]["var"].shape == (8,)
