@@ -138,3 +138,50 @@ class PosedImageDataset(BaseDataset):
 
     def get_dataset(self, split):
         return _PosedItems(self)
+
+
+if __name__ == "__main__":
+    # dataset visualizer (reference datasets/posed_images.py:203-243);
+    # requires the posed-images data under DATA_PATH (no auto-download)
+    import argparse
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..core.config import from_dotlist, merge
+    from ..visualization.viz2d import plot_heatmaps, plot_image_grid
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num_items", type=int, default=4)
+    parser.add_argument("--dpi", type=int, default=100)
+    parser.add_argument("--out", type=str, default="posed_images_samples.png")
+    parser.add_argument("dotlist", nargs="*")
+    args = parser.parse_intermixed_args()
+    conf = {
+        "root": "megadepth1500",
+        "depth_dir": "{scene}/depths",
+        "preprocessing": {
+            "resize": 1600,
+            "side": "long",
+            "interpolation": "area",
+            "antialias": False,
+        },
+        "num_workers": 0,
+        "batch_size": 1,
+    }
+    conf = merge(conf, from_dotlist(args.dotlist))
+    dataset = PosedImageDataset(conf)
+    ds = dataset.get_dataset("test")
+    images, depths = [], []
+    for i in range(min(args.num_items, len(ds))):
+        data = ds[i]
+        views = [data[k] for k in sorted(data) if k.startswith("view")]
+        images.append([v["image"] for v in views])
+        depths.append([v.get("depth") for v in views])
+    axes = plot_image_grid(images, dpi=args.dpi)
+    for i in range(len(images)):
+        if all(d is not None for d in depths[i]):
+            plot_heatmaps(depths[i], axes=axes[i])
+    plt.savefig(args.out, dpi=args.dpi)

@@ -126,3 +126,41 @@ class ZEBPairs(BaseDataset):
 
     def get_dataset(self, split):
         return _ZEBItems(self)
+
+
+if __name__ == "__main__":
+    # dataset visualizer (reference datasets/zeb.py:163-192); requires the
+    # ZEB data under DATA_PATH (no auto-download)
+    import argparse
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..core.config import from_dotlist, merge
+    from ..visualization.viz2d import plot_image_grid
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num_items", type=int, default=12)
+    parser.add_argument("--dpi", type=int, default=300)
+    parser.add_argument("--out", type=str, default="zeb_pairs.png")
+    parser.add_argument("dotlist", nargs="*")
+    args = parser.parse_intermixed_args()
+    conf = {
+        "root": "zeb",
+        "scene_list": None,
+        "batch_size": 1,
+        "num_workers": 0,
+        "shuffle": False,
+        "max_per_scene": 1,
+    }
+    conf = merge(conf, from_dotlist(args.dotlist))
+    dataset = ZEBPairs(conf)
+    ds = dataset.get_dataset("test")
+    images = [
+        [ds[i]["view0"]["image"], ds[i]["view1"]["image"]]
+        for i in range(min(args.num_items, len(ds)))
+    ]
+    plot_image_grid(images, dpi=args.dpi)
+    plt.savefig(args.out, dpi=args.dpi, bbox_inches="tight")
