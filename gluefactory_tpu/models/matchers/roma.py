@@ -421,8 +421,12 @@ class RoMa(BaseModel):
                 pred[f"warp{v}"] = out["warp"]
                 pred[f"certainty{v}"] = out["certainty"]
             elif c.backend == "native":
-                pred.update(self._dense_warp_native(data))
-                break  # computes both directions at once
+                # computes both directions at once; when the data already
+                # supplied one direction, only fill the missing keys so the
+                # provided warp/certainty are not overwritten
+                native = self._dense_warp_native(data)
+                pred.update({k: x for k, x in native.items() if k not in pred})
+                break
             else:
                 raise NotImplementedError(
                     "RoMa needs a dense warp source: provide warp{0,1}/"
