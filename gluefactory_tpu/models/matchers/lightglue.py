@@ -236,10 +236,14 @@ class TokenConfidence(nn.Module):
 # Minimum keypoint count for adaptive pruning to pay for itself (role of the
 # reference's device-keyed `pruning_keypoint_thresholds`,
 # lightglue.py:572-576: cpu/mps -1, cuda 1024, flash 1536). The TPU entry is
-# measured on v5e via the serving-path sweep (scripts_dev/profile_serving
-# sweep recorded in ROADMAP.md / BENCH_r04): the while-loop serving path wins
-# from ~512 keypoints up; below that the dense 9-layer program is faster.
-PRUNING_KEYPOINT_THRESHOLDS = {"cpu": -1, "cuda": 1024, "tpu": 512}
+# MEASURED on v5e (scripts_dev/profile_pruning_guard.py, exit depth 5/9,
+# B=4 bf16, sweep recorded in ROADMAP.md): the while-loop serving path wins
+# at EVERY size down to 64 keypoints (0.222 vs 0.256 ms/pair @64; 2.89 vs
+# 4.84 @2048) — unlike CUDA there are no kernel-launch/dynamic-shape costs,
+# the early exit only trades confidence-head evals against skipped layers —
+# so the TPU guard never fires. The conf override remains for custom
+# deployments (e.g. workloads whose real exit depth is ~9).
+PRUNING_KEYPOINT_THRESHOLDS = {"cpu": -1, "cuda": 1024, "tpu": -1}
 
 
 class LightGlue(BaseModel):

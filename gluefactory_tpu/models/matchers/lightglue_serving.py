@@ -135,6 +135,21 @@ def make_serving_fn(model, variables):
         stopped = jnp.zeros((B,), bool)
         exit_layer = jnp.full((B,), n - 1, jnp.int32)
 
+        # the while_loop carry must be dtype-stable, but a layer may upcast
+        # (e.g. bf16 descriptors through the f32-accumulating attention
+        # path): seed the carry with the layer's OUTPUT dtype so serving
+        # matches the dense program's numerics at every input dtype
+        tp0 = jax.tree.map(lambda x: x[0], tf_stack)
+        out_sd = jax.eval_shape(
+            lambda d0, d1: layer.apply(
+                {"params": tp0}, d0, d1, enc0, enc1, active0, active1
+            ),
+            desc0,
+            desc1,
+        )
+        desc0 = desc0.astype(out_sd[0].dtype)
+        desc1 = desc1.astype(out_sd[1].dtype)
+
         state = (0, desc0, desc1, active0, active1, stopped, exit_layer, prune0, prune1)
 
         def cond(state):

@@ -18,7 +18,7 @@ from functools import partial
 
 import numpy as np
 
-SIZES = (256, 512, 1024, 2048)
+SIZES = (64, 128, 256, 512, 1024, 2048)
 ITERS = 50
 BATCH = 4
 EXIT = 5
