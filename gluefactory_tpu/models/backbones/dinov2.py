@@ -190,7 +190,9 @@ class DinoV2(BaseModel):
         x = self.patch_embed(image[:, : ph * p, : pw * p])
         x = x.reshape(B, ph * pw, self.embed_dim)
         cls_pos, patch_pos = self._interp_pos_embed(ph, pw)
-        x = x + patch_pos
+        # the bicubic resize runs through f32 matrices; cast back so the
+        # add does not upcast a bf16 ViT trunk to f32 (ROADMAP r4 perf log)
+        x = x + patch_pos.astype(x.dtype)
         cls = jnp.tile(self.cls_token + cls_pos, (B, 1, 1))
         toks = [cls]
         if self.conf.num_register_tokens:

@@ -194,11 +194,20 @@ class GlueStick(BaseModel):
 
         p0 = normalize_keypoints(kpts0, size0)
         p1 = normalize_keypoints(kpts1, size1)
+        # encoder inputs follow the descriptor dtype: f32 keypoints/scores
+        # would otherwise upcast `desc + kenc(...)` — and every GNN layer
+        # after it — out of bf16 (see ROADMAP round-4 perf log)
         x0 = desc0 + self.kenc(
-            jnp.concatenate([p0, data["keypoint_scores0"][..., None]], -1), train=train
+            jnp.concatenate(
+                [p0, data["keypoint_scores0"][..., None]], -1
+            ).astype(desc0.dtype),
+            train=train,
         )
         x1 = desc1 + self.kenc(
-            jnp.concatenate([p1, data["keypoint_scores1"][..., None]], -1), train=train
+            jnp.concatenate(
+                [p1, data["keypoint_scores1"][..., None]], -1
+            ).astype(desc1.dtype),
+            train=train,
         )
 
         lines0_n = normalize_keypoints(
@@ -207,8 +216,18 @@ class GlueStick(BaseModel):
         lines1_n = normalize_keypoints(
             data["lines1"].reshape(B, 2 * L1, 2), size1
         ).reshape(B, L1, 2, 2)
-        line_enc0 = self.lenc(lines0_n, data["line_scores0"], train=train)
-        line_enc1 = self.lenc(lines1_n, data["line_scores1"], train=train)
+        # line encodings likewise follow the descriptor dtype (they feed the
+        # LineLayer message MLPs alongside bf16 node descriptors)
+        line_enc0 = self.lenc(
+            lines0_n.astype(desc0.dtype),
+            data["line_scores0"].astype(desc0.dtype),
+            train=train,
+        )
+        line_enc1 = self.lenc(
+            lines1_n.astype(desc1.dtype),
+            data["line_scores1"].astype(desc1.dtype),
+            train=train,
+        )
 
         inter_descs = {}
         for i in range(2 * c.n_layers):

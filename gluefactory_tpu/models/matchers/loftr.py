@@ -145,8 +145,10 @@ class LoFTR(BaseModel):
         Hc1, Wc1 = cf1.shape[1:3]
         N0, N1 = Hc0 * Wc0, Hc1 * Wc1
 
-        pe0 = sine_pos_encoding(Hc0, Wc0, c.dim_coarse)[None]
-        pe1 = sine_pos_encoding(Hc1, Wc1, c.dim_coarse)[None]
+        # the f32 sine tables must not upcast bf16 backbone features (the
+        # add would otherwise promote every coarse transformer layer to f32)
+        pe0 = sine_pos_encoding(Hc0, Wc0, c.dim_coarse)[None].astype(cf0.dtype)
+        pe1 = sine_pos_encoding(Hc1, Wc1, c.dim_coarse)[None].astype(cf1.dtype)
         f0 = (cf0 + pe0).reshape(B, N0, c.dim_coarse)
         f1 = (cf1 + pe1).reshape(B, N1, c.dim_coarse)
 

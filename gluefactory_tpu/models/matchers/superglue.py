@@ -118,8 +118,16 @@ class SuperGlue(BaseModel):
 
         p0 = normalize_keypoints_sg(kpts0, size0)
         p1 = normalize_keypoints_sg(kpts1, size1)
-        enc_in0 = jnp.concatenate([p0, data["keypoint_scores0"][..., None]], axis=-1)
-        enc_in1 = jnp.concatenate([p1, data["keypoint_scores1"][..., None]], axis=-1)
+        # encoder inputs follow the descriptor dtype: keypoints/scores arrive
+        # f32, and one f32 operand in `desc + kenc(...)` silently upcasts the
+        # whole GNN out of bf16 (same leak class as the rotary tables — see
+        # ROADMAP round-4 perf log)
+        enc_in0 = jnp.concatenate(
+            [p0, data["keypoint_scores0"][..., None]], axis=-1
+        ).astype(desc0.dtype)
+        enc_in1 = jnp.concatenate(
+            [p1, data["keypoint_scores1"][..., None]], axis=-1
+        ).astype(desc1.dtype)
         x0 = desc0 + self.kenc(enc_in0, train=train)
         x1 = desc1 + self.kenc(enc_in1, train=train)
 

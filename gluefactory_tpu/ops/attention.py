@@ -29,9 +29,16 @@ def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """Apply a rotary encoding. x: (..., N, D); cos/sin: (..., N, D/2)."""
-    cos2 = jnp.repeat(cos, 2, axis=-1)
-    sin2 = jnp.repeat(sin, 2, axis=-1)
+    """Apply a rotary encoding. x: (..., N, D); cos/sin: (..., N, D/2).
+
+    Computed in x's dtype: the angles derive from f32 keypoint coordinates,
+    and without the cast a single f32 rotary multiply silently upcasts every
+    downstream matcher layer (attention, FFNs, the next layer's projections)
+    to f32 — measured 78.3 -> see ROADMAP round-4 perf log for the bf16
+    recovery, and the f32 operands also overran the attention kernel's
+    scoped VMEM at batch 32 (16.01M vs the 16M limit)."""
+    cos2 = jnp.repeat(cos, 2, axis=-1).astype(x.dtype)
+    sin2 = jnp.repeat(sin, 2, axis=-1).astype(x.dtype)
     return x * cos2 + rotate_half(x) * sin2
 
 

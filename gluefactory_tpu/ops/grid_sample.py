@@ -44,12 +44,17 @@ def grid_sample_nd(fmap: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     v11 = gather(y0 + 1, x0 + 1)
     wx = wx[..., None]
     wy = wy[..., None]
-    return (
+    out = (
         v00 * (1 - wx) * (1 - wy)
         + v01 * wx * (1 - wy)
         + v10 * (1 - wx) * wy
         + v11 * wx * wy
     )
+    # the blend accumulates in f32 (weights derive from f32 coordinates);
+    # return the map's dtype so samplers embedded in bf16 trunks (ALIKED's
+    # deformable convs, RoMa refiners, descriptor sampling) don't silently
+    # upcast everything downstream (ROADMAP round-4 perf log)
+    return out.astype(fmap.dtype)
 
 
 def sample_descriptors(
@@ -72,5 +77,8 @@ def sample_descriptors(
         pts = kpts / float(stride)
     desc = grid_sample_nd(desc_map, pts)
     if normalize:
-        desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
-    return desc
+        # norm in f32 (a bf16 sum of 256 squares loses ~1% of scale), then
+        # back to the map's dtype so a bf16 pipeline stays bf16 downstream
+        norm = jnp.linalg.norm(desc.astype(jnp.float32), axis=-1, keepdims=True)
+        desc = desc / (norm + 1e-8).astype(desc.dtype)
+    return desc.astype(desc_map.dtype)

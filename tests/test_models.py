@@ -143,6 +143,78 @@ def test_lightglue_loss_and_grads():
     assert gnorm > 0
 
 
+def _cast_f32_to_bf16(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
+        else x,
+        tree,
+    )
+
+
+def test_matcher_trunks_stay_bf16():
+    """Regression for the f32-upcast leak class (ROADMAP round-4 perf log):
+    f32 keypoints/scores/posenc entering a bf16 matcher must not promote the
+    trunk back to f32 — one stray f32 operand in an add poisons every
+    downstream layer."""
+    # LightGlue: train-mode stacked per-layer descriptors expose trunk dtype
+    lg = LightGlue.from_conf({"n_layers": 2, "checkpointed": False})
+    data = make_matcher_inputs()
+    params = lg.init({"params": jax.random.key(0)}, data)
+    data16 = dict(data)
+    for k in ("descriptors0", "descriptors1"):
+        data16[k] = data[k].astype(jnp.bfloat16)
+    pred = lg.apply(_cast_f32_to_bf16(params), data16, train=True)
+    assert pred["ref_descriptors0"].dtype == jnp.bfloat16
+
+    # SuperGlue: capture final_proj's output (the full-GNN result)
+    sg = get_model("superglue").from_conf({"n_layers": 2, "checkpointed": False})
+    data16["keypoint_scores0"] = jnp.ones(data["keypoints0"].shape[:2])
+    data16["keypoint_scores1"] = jnp.ones(data["keypoints1"].shape[:2])
+    sgvars = sg.init({"params": jax.random.key(1)}, data16)
+    _, state = sg.apply(
+        _cast_f32_to_bf16(sgvars),
+        data16,
+        capture_intermediates=lambda mdl, _: mdl.name == "final_proj",
+    )
+    leaves = jax.tree.leaves(state["intermediates"])
+    assert leaves and all(l.dtype == jnp.bfloat16 for l in leaves)
+
+
+def test_gluestick_trunk_stays_bf16():
+    """Same leak class via the keypoint AND line-endpoint encoders."""
+    B, N, L, D = 1, 40, 8, 64
+    rng = np.random.default_rng(2)
+    gs = get_model("gluestick").from_conf(
+        {"n_layers": 2, "descriptor_dim": D, "input_dim": D, "num_heads": 2}
+    )
+    junc_idx = rng.integers(0, 16, (B, L, 2))
+    data = {
+        "keypoints0": jnp.asarray(rng.uniform(0, 512, (B, N, 2)), jnp.float32),
+        "keypoints1": jnp.asarray(rng.uniform(0, 512, (B, N, 2)), jnp.float32),
+        "descriptors0": jnp.asarray(rng.normal(size=(B, N, D)), jnp.bfloat16),
+        "descriptors1": jnp.asarray(rng.normal(size=(B, N, D)), jnp.bfloat16),
+        "keypoint_scores0": jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32),
+        "keypoint_scores1": jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32),
+        "lines0": jnp.asarray(rng.uniform(0, 512, (B, L, 2, 2)), jnp.float32),
+        "lines1": jnp.asarray(rng.uniform(0, 512, (B, L, 2, 2)), jnp.float32),
+        "lines_junc_idx0": jnp.asarray(junc_idx, jnp.int32),
+        "lines_junc_idx1": jnp.asarray(junc_idx, jnp.int32),
+        "line_scores0": jnp.asarray(rng.uniform(0, 1, (B, L)), jnp.float32),
+        "line_scores1": jnp.asarray(rng.uniform(0, 1, (B, L)), jnp.float32),
+        "view0": {"image_size": jnp.asarray([[512.0, 512.0]])},
+        "view1": {"image_size": jnp.asarray([[512.0, 512.0]])},
+    }
+    variables = gs.init({"params": jax.random.key(0)}, data, method="initialize")
+    _, state = gs.apply(
+        _cast_f32_to_bf16(variables),
+        data,
+        capture_intermediates=lambda mdl, _: mdl.name == "final_proj",
+    )
+    leaves = jax.tree.leaves(state["intermediates"])
+    assert leaves and all(l.dtype == jnp.bfloat16 for l in leaves)
+
+
 def test_normalize_keypoints():
     kpts = jnp.asarray([[[0.0, 0.0], [640.0, 480.0], [320.0, 240.0]]])
     size = jnp.asarray([[640.0, 480.0]])

@@ -215,6 +215,27 @@ def test_apply_rotary_preserves_norm():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(x), atol=1e-6)
 
 
+def test_bf16_dtype_preserved_through_rotary_and_sampling():
+    """Regression: two silent f32 upcasts used to poison the whole matcher
+    (rotary tables derived from f32 keypoint coords; f32 interpolation
+    weights in sample_descriptors) — see ROADMAP round-4 perf log. A bf16
+    input must come out bf16 from both ops."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 10, 16)), jnp.bfloat16)
+    theta = jnp.asarray(rng.normal(size=(1, 10, 8)), jnp.float32)
+    out = apply_rotary(x, jnp.cos(theta), jnp.sin(theta))
+    assert out.dtype == jnp.bfloat16
+
+    dmap = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.bfloat16)
+    kpts = jnp.asarray(rng.uniform(0, 128, size=(2, 10, 2)), jnp.float32)
+    desc = sample_descriptors(kpts, dmap, stride=8)
+    assert desc.dtype == jnp.bfloat16
+    # raw grid_sample_nd is dtype-preserving too (it sits inside bf16
+    # trunks: ALIKED deformable convs, RoMa refiners)
+    raw = grid_sample_nd(dmap, kpts / 8.0)
+    assert raw.dtype == jnp.bfloat16
+
+
 def test_log_double_softmax_shape():
     rng = np.random.default_rng(10)
     sim = jnp.asarray(rng.normal(size=(1, 4, 5)), jnp.float32)
