@@ -90,8 +90,15 @@ def main():
         },
     }
 
+    # init on a B=1 slice: params are batch-independent, and running the f32
+    # init forward at the full bench batch fragments HBM enough that the
+    # (smaller!) bf16 measurement program cannot place its temps afterwards —
+    # the BENCH_BATCH=8 "OOM" was exactly this (see ROADMAP round-4 perf log)
+    batch1 = jax.tree.map(
+        lambda x: x[:1] if isinstance(x, jnp.ndarray) else x, batch
+    )
     variables = model.init(
-        {"params": jax.random.key(0), "sample": jax.random.key(1)}, batch
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, batch1
     )
     if DTYPE == "bfloat16":
         cast = lambda x: (
