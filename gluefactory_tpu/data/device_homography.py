@@ -13,7 +13,7 @@ masks. Stages mirror the reference (`geometry/homography.py:40-107`, and our
 reference-exact host sampler in `geometry/homography.py`):
   1. perturb the frame corners inward by uniform offsets bounded by the
      difficulty-shrunk center patch; K candidate draws, first convex one is
-     kept (fallback: the shrunk patch itself);
+     kept (fallback: a size-floored center patch — never degenerate);
   2. re-center the quad onto the patch centroid;
   3. rotate about the centroid by the first of a shuffled fan of
      difficulty-scaled candidate angles that keeps the quad inside the frame
@@ -53,8 +53,9 @@ def sample_corner_quads(
     n_convex_tries: int = 4,
 ):
     """Sample (B, 4, 2) source quadrilaterals following the reference
-    distribution, plus a translated axis-aligned inner rectangle (B, 4, 2)
-    (the λ=0 fallback of the window-safety clamp below)."""
+    distribution, plus a translated axis-aligned anchor rectangle (B, 4, 2)
+    (the λ=0 fallback of the window-safety clamp below; size-floored at 25%
+    of the frame so it never degenerates at difficulty -> 1)."""
     sw, sh = float(source_size[0]), float(source_size[1])
     norm = jnp.asarray([sw, sh], dtype)
     k_pert, k_ang, k_trans = jax.random.split(rng, 3)
@@ -68,6 +69,19 @@ def sample_corner_quads(
         dtype,
     )
     spread = inner - frame  # inward extent available to each corner
+    # degenerate-proof anchor: `inner` collapses to four identical center
+    # points as difficulty -> 1 (a singular DLT system -> NaN H), so the
+    # convexity fallback and the window-safety lambda-blend anchor use a
+    # size-floored center patch (>= 25% of the frame) instead; `inner`
+    # itself still sets the perturbation spread (reference distribution)
+    shrink = min(difficulty, 0.75)
+    anchor = jnp.asarray(
+        create_center_patch(
+            (source_size[0], source_size[1]),
+            (sw * (1.0 - shrink), sh * (1.0 - shrink)),
+        ),
+        dtype,
+    )
 
     # stage 1: K candidate perturbations, keep the first convex one
     u = jax.random.uniform(k_pert, (n_convex_tries, batch, 4, 2), dtype=dtype)
@@ -76,7 +90,7 @@ def sample_corner_quads(
     first = jnp.argmax(ok, axis=0)  # (B,)
     any_ok = jnp.any(ok, axis=0)
     picked = jnp.take_along_axis(cands, first[None, :, None, None], axis=0)[0]
-    quad = jnp.where(any_ok[:, None, None], picked, inner[None])
+    quad = jnp.where(any_ok[:, None, None], picked, anchor[None])
 
     # stage 2: re-center onto the shrunk patch's centroid
     quad = quad + (inner.mean(0) - quad.mean(1))[:, None, :]
@@ -111,7 +125,7 @@ def sample_corner_quads(
     t = jax.random.uniform(k_trans, (batch, 2), dtype=dtype)
     shift = (lo + t * (hi - lo)) * (translation * difficulty)
     quad = quad + shift[:, None, :]
-    return quad, inner[None] + shift[:, None, :]
+    return quad, anchor[None] + shift[:, None, :]
 
 
 def _patch_corners(batch: int, patch_size, dtype=jnp.float32):
@@ -182,13 +196,14 @@ def _sample_window_safe_homography(
     imagery at high difficulty).
 
     Per batch element, the sampled quad is blended toward its translated
-    inner rectangle (quad_λ = inner + λ(quad − inner)) and the largest
+    anchor rectangle (quad_λ = anchor + λ(quad − anchor)) and the largest
     λ ∈ {1, .75, .5, .25, 0} whose footprint fits is kept. λ=0 is an
-    axis-aligned scaling with footprint tile*(1−difficulty)*scale < window,
-    so a safe choice always exists; the clamp only engages on the rare
-    extreme-perspective draws.
+    axis-aligned scaling with footprint tile*(1−min(difficulty,.75))*scale
+    < window (the anchor is size-floored so it stays non-degenerate at
+    difficulty → 1), so a safe choice always exists; the clamp only engages
+    on the rare extreme-perspective draws.
     """
-    quad, inner = sample_corner_quads(
+    quad, anchor = sample_corner_quads(
         rng, batch, source_size, difficulty, translation, jnp.float32,
         n_angles=n_angles, max_angle=max_angle,
     )
@@ -197,7 +212,7 @@ def _sample_window_safe_homography(
     H_best = None
     fits_prev = None
     for lam in (1.0, 0.75, 0.5, 0.25, 0.0):
-        q = inner + lam * (quad - inner)
+        q = anchor + lam * (quad - anchor)
         Hl = compute_homography_dlt(q, corners)
         fh, fw = _max_tile_footprint(Hl, patch_size, tile)
         fits = (fh <= wh - margin) & (fw <= ww - margin)

@@ -81,16 +81,22 @@ def _pyrdown(x: jnp.ndarray, factor: float = 1.2) -> jnp.ndarray:
     k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
 
     def sep_conv(v, kern, axis):
+        # kornia blurs with border_type="reflect": pad by the kernel half
+        # width with edge-excluded reflection, then convolve VALID
+        pad = [(0, 0)] * 4
+        pad[axis] = (2, 2)
+        v = jnp.pad(v, pad, mode="reflect")
         shape = [1, 1, 1, 1]
         shape[axis] = 5
         return jax.lax.conv_general_dilated(
-            v, kern.reshape(shape[1:3] + [1, 1]), (1, 1), "SAME",
+            v, kern.reshape(shape[1:3] + [1, 1]), (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     x = sep_conv(x, k, 1)
     x = sep_conv(x, k, 2)
     B, H, W, C = x.shape
-    nh, nw = max(int(round(H / factor)), 1), max(int(round(W / factor)), 1)
+    # kornia floors the output size (int(H / factor), not round)
+    nh, nw = max(int(H / factor), 1), max(int(W / factor), 1)
     return jax.image.resize(x, (B, nh, nw, C), "bilinear")
 
 

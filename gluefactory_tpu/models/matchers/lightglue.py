@@ -243,7 +243,8 @@ class TokenConfidence(nn.Module):
 # the early exit only trades confidence-head evals against skipped layers —
 # so the TPU guard never fires. The conf override remains for custom
 # deployments (e.g. workloads whose real exit depth is ~9).
-PRUNING_KEYPOINT_THRESHOLDS = {"cpu": -1, "cuda": 1024, "tpu": -1}
+# keyed by jax.default_backend() names ("gpu", not "cuda")
+PRUNING_KEYPOINT_THRESHOLDS = {"cpu": -1, "gpu": 1024, "tpu": -1}
 
 
 class LightGlue(BaseModel):

@@ -63,7 +63,9 @@ def make_serving_fn(model, variables):
     conf_stack = stack_layer_params(params, "token_confidence", n - 1)
 
     layer = TransformerLayer(c.descriptor_dim, c.num_heads, bool(c.flash))
-    assign = MatchAssignment(c.descriptor_dim)
+    assign = MatchAssignment(
+        c.descriptor_dim, int8_sim=bool(c.get("int8_similarity", False))
+    )
     tokconf = TokenConfidence()
     def input_proj(x):
         p = params["input_proj"]

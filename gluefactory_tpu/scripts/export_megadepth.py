@@ -46,7 +46,8 @@ METHODS = {
     },
     "disk": {
         "tag": "r1024_DISK-k2048-nms5",
-        "model": {"name": "disk", "max_num_keypoints": 2048, "nms_radius": 5},
+        # radius-5 NMS == kornia's window 11 (DISK confs use nms_window_size)
+        "model": {"name": "disk", "max_num_keypoints": 2048, "nms_window_size": 11},
     },
     "aliked": {
         "tag": "r1024_ALIKED-k2048-n16",

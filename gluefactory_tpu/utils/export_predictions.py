@@ -122,7 +122,8 @@ def _split_items(batch: dict):
         if isinstance(v, (np.ndarray, list)) and not isinstance(v, str)
     ]
     bsz = sizes[0] if sizes else 1
-    return [_index_tree(map_tensor(batch, np.asarray), b) for b in range(bsz)]
+    as_np = map_tensor(batch, np.asarray)  # convert leaves once, not per item
+    return [_index_tree(as_np, b) for b in range(bsz)]
 
 
 def _group_collate(items: list[dict]):

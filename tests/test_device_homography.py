@@ -26,6 +26,20 @@ def test_sampled_homographies_map_frame_to_patch():
     assert (back[:, :, 1] >= -1).all() and (back[:, :, 1] <= 241).all()
 
 
+def test_max_difficulty_homographies_finite():
+    """Regression: at difficulty=1.0 the inner center patch degenerates to
+    four identical points; the convexity fallback and the window-safety
+    lambda=0 anchor must use the size-floored anchor, never a singular DLT
+    system (NaN H poisoning the training batch)."""
+    for seed in range(4):
+        H = sample_corner_homographies(
+            jax.random.key(seed), 16, (320, 240), (160, 120), difficulty=1.0
+        )
+        assert np.isfinite(np.asarray(H)).all()
+        # and the homographies are well-conditioned enough to invert
+        assert np.isfinite(np.asarray(jnp.linalg.inv(H))).all()
+
+
 def test_cross_view_photoconsistency():
     """A point in view0 mapped by H_0to1 must see the same source content in
     view1 (no photometric jitter)."""

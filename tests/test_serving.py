@@ -41,7 +41,8 @@ def _bias_confidence(variables, layer_bias: dict):
 
 
 @pytest.mark.parametrize("width_conf", [-1.0, 0.99])
-def test_serving_parity_with_masked_pruned_path(width_conf):
+@pytest.mark.parametrize("int8_sim", [False, True])
+def test_serving_parity_with_masked_pruned_path(width_conf, int8_sim):
     conf = {
         "n_layers": 4,
         "input_dim": 64,
@@ -51,6 +52,9 @@ def test_serving_parity_with_masked_pruned_path(width_conf):
         "checkpointed": False,
         "depth_confidence": 0.95,
         "width_confidence": width_conf,
+        # regression: make_serving_fn must thread int8_similarity into its
+        # MatchAssignment or serving diverges from the in-model forward
+        "int8_similarity": int8_sim,
     }
     model = get_model("lightglue").from_conf(conf)
     rng = np.random.default_rng(0)
