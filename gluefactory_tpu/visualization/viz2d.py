@@ -21,15 +21,22 @@ def cm_RdGn(x):
 
 
 def cm_ranking(sc, ths=(512, 1024, 2048, 4096)):
-    ls = sc.shape[0]
-    colors = ["red", "yellow", "lime", "cyan", "blue"]
-    out = ["gray"] * ls
-    for i in range(ls):
-        for c, th in zip(colors[: len(ths) + 1], (0,) + tuple(ths)):
-            if i < th:
-                out[i] = c
-    sid = np.argsort(sc, axis=0).tolist()[::-1]
-    return np.array(out)[sid]
+    """Color points by score-rank tier (reference viz2d.py:16-26): for the
+    usual score-sorted (top-k) input the `ths[0]` best points are red, the
+    next tiers yellow / lime / cyan, and everything past the last threshold
+    blue. Reference-faithful detail: tiers are assigned by array index and
+    then reordered score-descending, which only equals tier-by-rank when the
+    input is already sorted.
+
+    Thresholds must be increasing. Ranks beyond the fifth tier (only possible
+    when more than four thresholds are passed) fall back to gray, matching the
+    reference's five-color table.
+    """
+    sc = np.asarray(sc)
+    palette = np.array(["red", "yellow", "lime", "cyan", "blue", "gray"])
+    tier = np.searchsorted(np.asarray(ths), np.arange(sc.shape[0]), side="right")
+    by_rank = palette[np.minimum(tier, len(palette) - 1)]
+    return by_rank[np.argsort(sc, axis=0)[::-1]]
 
 
 def plot_images(imgs, titles=None, cmaps="gray", dpi=100, pad=0.5, adaptive=True):

@@ -175,3 +175,25 @@ def test_two_view_frame_single_pred_back_compat():
     assert len(frame.axes) == 1
     assert "matches" in frame.options
     plt.close("all")
+
+
+def test_cm_ranking_tiers():
+    """Rank-tier colors follow the reference's first-threshold-wins rule
+    (reference viz2d.py:16-26): top-ths[0] red, next tiers yellow/lime/cyan,
+    everything past the last threshold blue."""
+    from gluefactory_tpu.visualization.viz2d import cm_ranking
+
+    rng = np.random.RandomState(3)
+    # extractor outputs are score-sorted (top-k), where index == rank and the
+    # reference's index-tier-then-reorder dance reduces to tier-by-rank
+    sc = np.sort(rng.rand(5000))[::-1].copy()
+    out = cm_ranking(sc)
+    assert (out[:512] == "red").all()
+    assert (out[512:1024] == "yellow").all()
+    assert (out[1024:2048] == "lime").all()
+    assert (out[2048:4096] == "cyan").all()
+    assert (out[4096:] == "blue").all()
+    # shorter threshold list: last tier color is colors[len(ths)]
+    out2 = cm_ranking(np.sort(rng.rand(10))[::-1].copy(), ths=(2, 4))
+    assert (out2[:2] == "red").all() and (out2[2:4] == "yellow").all()
+    assert (out2[4:] == "lime").all()
