@@ -19,10 +19,19 @@ from pathlib import Path
 import cv2
 import numpy as np
 
+from ..core.config import merge
+from ..models.cache_loader import CacheLoader, pad_local_features
 from ..settings import DATA_PATH
-from .augmentations import augmentations
+from .augmentations import IdentityAugmentation, augmentations
 from .base_dataset import BaseDataset
 from ..geometry.homography import sample_homography_corners
+
+
+def _warp_points_np(points: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Host-side forward homography warp of (N, 2) points (role of reference
+    `geometry/homography.py:134-158` with inverse=False)."""
+    pts = np.concatenate([points, np.ones_like(points[:, :1])], axis=1) @ H.T
+    return pts[:, :2] / pts[:, 2:]
 
 
 def generate_synthetic_image(seed: int, size=(640, 480)) -> np.ndarray:
@@ -103,8 +112,44 @@ class _HomographyTorchDataset:
             img = cv2.resize(img, (int(np.ceil(w * scale)), int(np.ceil(h * scale))))
         return img
 
-    def _sample_view(self, img: np.ndarray, rng: np.random.Generator, aug) -> dict:
-        hconf = self.conf.homography
+    def _transform_features(self, features: dict, H: np.ndarray, patch_shape) -> dict:
+        """Warp cached keypoints into the sampled view, drop out-of-bounds
+        ones, threshold/top-k, and optionally pad to a fixed length (role of
+        reference `datasets/homographies.py:176-208` `_transform_keypoints`).
+
+        Deliberate divergence: the reference's in-bounds step subsets ONLY
+        `features["keypoints"]` (`homographies.py:190`), leaving scores and
+        descriptors at their original length — a shape inconsistency that
+        crashes any downstream indexing once points fall outside the crop.
+        Here the in-bounds mask filters every per-keypoint array.
+        """
+        lf = self.conf.load_features
+        kpts = _warp_points_np(
+            np.asarray(features["keypoints"], np.float32), np.asarray(H, np.float32)
+        )
+        w, h = patch_shape
+        valid = (
+            (kpts[:, 0] >= 0)
+            & (kpts[:, 0] <= w - 1)
+            & (kpts[:, 1] >= 0)
+            & (kpts[:, 1] <= h - 1)
+        )
+        features = dict(features, keypoints=kpts.astype(np.float32))
+        features = {k: v[valid] for k, v in features.items()}
+        if lf.thresh > 0:
+            keep = features["keypoint_scores"] >= lf.thresh
+            features = {k: v[keep] for k, v in features.items()}
+        n = lf.max_num_keypoints
+        if n > -1:
+            inds = np.argsort(-features["keypoint_scores"])
+            features = {k: v[inds[:n]] for k, v in features.items()}
+            if lf.force_num_keypoints:
+                features = pad_local_features(features, n)
+        return features
+
+    def _sample_view(
+        self, img: np.ndarray, rng: np.random.Generator, aug, hconf, name=None
+    ) -> dict:
         h, w = img.shape[:2]
         patch_shape = tuple(hconf.patch_shape)
         H, _, _, _ = sample_homography_corners(
@@ -137,6 +182,11 @@ class _HomographyTorchDataset:
                     dl.max_num_lines, dl.min_length, dl.nms_radius,
                 )
             )
+        if self.parent.feature_loader is not None:
+            # cached-feature path (reference homographies.py:228-231): load
+            # the base image's exported features, warp them into this view
+            features = self.parent.feature_loader({"name": str(name)})
+            view["cache"] = self._transform_features(features, H, patch_shape)
         return view
 
     def __getitem__(self, idx: int) -> dict:
@@ -158,10 +208,25 @@ class _HomographyTorchDataset:
                 "idx": idx,
                 "name": str(self.image_names[idx]),
             }
-        aug = self.parent.photo_augment
+        name = self.image_names[idx]
         n_views = 3 if conf.triplet else 2
-        views = [self._sample_view(img, rng, aug) for _ in range(n_views)]
-        data = {}
+        # right_only (reference homographies.py:62,168-170,245-249): view0 is
+        # the original image rescaled to the patch (difficulty-0 homography),
+        # with NO photometric augmentation; only view1(+2) get warped/jittered
+        left_hconf = (
+            self.parent.left_homography if conf.right_only else conf.homography
+        )
+        views = [
+            self._sample_view(
+                img,
+                rng,
+                self.parent.left_augment if i == 0 else self.parent.photo_augment,
+                left_hconf if i == 0 else conf.homography,
+                name=name,
+            )
+            for i in range(n_views)
+        ]
+        data = {"original_image_size": np.array(img.shape[:2][::-1], np.float32)}
         for i, v in enumerate(views):
             data[f"view{i}"] = {
                 k: v[k] for k in v.keys() if k not in ("H_", "coords")
@@ -182,6 +247,8 @@ class HomographyDataset(BaseDataset):
     default_conf = {
         "data_dir": "revisitop1m",
         "image_dir": None,  # explicit folder of images
+        "image_list": None,  # file of relative paths (reference: revisitop1m.txt) or explicit list
+        "check_file_exists": False,  # verify every listed image exists on disk
         "glob": ["*.jpg", "*.png", "*.jpeg"],
         "synthetic_images": 0,  # >0: hermetic procedural image pool
         "source_size": [640, 480],
@@ -190,6 +257,7 @@ class HomographyDataset(BaseDataset):
         "shuffle_seed": 0,
         "grayscale": False,
         "triplet": False,
+        "right_only": False,  # image0 is orig (rescaled+unaugmented), image1 warped
         "reseed": True,
         "seed": 0,
         "emit_source": False,  # ship source images for on-device augmentation
@@ -201,7 +269,20 @@ class HomographyDataset(BaseDataset):
             "patch_shape": [640, 480],
             "min_convexity": 0.05,
         },
-        "photometric": {"name": "lg", "p": 0.95},
+        # reference homographies.py:72-76: the dataset default is dark/0.75;
+        # recipes that set only `name:` keep p=0.75 (the FULL merged sub-conf
+        # is forwarded to the augmentation, overriding its class default)
+        "photometric": {"name": "dark", "p": 0.75},
+        # cached-feature training path (reference homographies.py:78-86):
+        # load per-image exported features and warp them into each view
+        "load_features": {
+            "do": False,
+            **CacheLoader.default_conf,
+            "collate": False,
+            "thresh": 0.0,
+            "max_num_keypoints": -1,
+            "force_num_keypoints": False,
+        },
         # precompute LSD lines + wireframe junctions per view in the data
         # workers (for GlueStick training): the jitted train step then needs
         # no host callback. Must mirror the wireframe extractor's conf.
@@ -218,14 +299,38 @@ class HomographyDataset(BaseDataset):
             names = list(range(conf.synthetic_images))
         else:
             image_dir = Path(conf.image_dir) if conf.image_dir else DATA_PATH / conf.data_dir / "jpg"
-            if not image_dir.exists():
-                raise FileNotFoundError(
-                    f"image dir {image_dir} not found; set data.image_dir or use "
-                    "data.synthetic_images for a procedural pool"
-                )
-            names = []
-            for pattern in conf.glob:
-                names += sorted(image_dir.rglob(pattern))
+            if conf.image_list is not None:
+                # list-file / explicit-list discovery (reference
+                # homographies.py:108-123): on the 1M-image corpus a
+                # recursive glob per run is the wrong tool — the curated
+                # list is the reproducible source of truth
+                if isinstance(conf.image_list, (list, tuple)):
+                    entries = [str(e) for e in conf.image_list]
+                else:
+                    list_path = Path(conf.image_list)
+                    if not list_path.is_absolute():
+                        list_path = (
+                            DATA_PATH / conf.data_dir / conf.image_list
+                            if conf.data_dir
+                            else image_dir / conf.image_list
+                        )
+                    if not list_path.exists():
+                        raise FileNotFoundError(f"cannot find image list {list_path}")
+                    entries = list_path.read_text().rstrip("\n").split("\n")
+                names = [image_dir / e for e in entries]
+                if conf.check_file_exists:
+                    for p in names:
+                        if not p.exists():
+                            raise FileNotFoundError(p)
+            else:
+                if not image_dir.exists():
+                    raise FileNotFoundError(
+                        f"image dir {image_dir} not found; set data.image_dir or use "
+                        "data.synthetic_images for a procedural pool"
+                    )
+                names = []
+                for pattern in conf.glob:
+                    names += sorted(image_dir.rglob(pattern))
         rng = np.random.default_rng(conf.shuffle_seed)
         perm = rng.permutation(len(names))
         names = [names[i] for i in perm]
@@ -236,8 +341,25 @@ class HomographyDataset(BaseDataset):
             "val": names[-val_size:],
             "test": names[-val_size:],
         }
+        # forward the FULL merged photometric sub-conf so the dataset-level
+        # default p (0.75) overrides the augmentation's class default, and
+        # user sub-keys are honored (reference homographies.py:162-167)
         aug_name = conf.photometric.name
-        self.photo_augment = augmentations[aug_name]({"p": conf.photometric.p})
+        self.photo_augment = augmentations[aug_name](conf.photometric)
+        self.left_augment = (
+            IdentityAugmentation() if conf.right_only else self.photo_augment
+        )
+        self.left_homography = merge(conf.homography, {"difficulty": 0.0})
+        if conf.load_features.do:
+            self.feature_loader = CacheLoader(
+                {
+                    k: v
+                    for k, v in conf.load_features.to_dict().items()
+                    if k not in ("do", "thresh", "max_num_keypoints", "force_num_keypoints")
+                }
+            )
+        else:
+            self.feature_loader = None
         self.epoch = 0
 
     def get_dataset(self, split: str):

@@ -246,6 +246,40 @@ def _make_torchvision_module() -> types.ModuleType:
     return tv, ops, models, resnet
 
 
+# ---------------------------------------------------------------------------
+# albumentations shim (only construction: the conf-merge parity tests read
+# `photo_augment.conf`, they never execute a transform pipeline)
+# ---------------------------------------------------------------------------
+
+
+class _ShimTransform:
+    """Stands in for any albumentations transform/compose class: accepts any
+    constructor signature (reference `datasets/augmentations.py` builds ~20
+    different A.* transforms at dataset construction time)."""
+
+    def __init__(self, *args, **kwargs):
+        self.args, self.kwargs = args, kwargs
+
+    def __call__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "albumentations shim supports construction only (conf parity tests)"
+        )
+
+
+def _make_albumentations_module():
+    A = types.ModuleType("albumentations")
+    A.__getattr__ = lambda name: _ShimTransform  # PEP 562: every A.* class
+    A.ImageOnlyTransform = _ShimTransform
+    pytorch = types.ModuleType("albumentations.pytorch")
+    transforms = types.ModuleType("albumentations.pytorch.transforms")
+    transforms.ToTensorV2 = _ShimTransform
+    pytorch.transforms = transforms
+    A.pytorch = pytorch
+    for mod in (A, pytorch, transforms):
+        _give_spec(mod)
+    return A, pytorch, transforms
+
+
 def _give_spec(mod: types.ModuleType) -> None:
     """`importlib.util.find_spec` raises ValueError on an in-sys.modules
     module whose __spec__ is None (e.g. transformers probes torchvision at
@@ -282,6 +316,14 @@ def load_reference():
                 sys.modules["torchvision.ops"] = ops
                 sys.modules["torchvision.models"] = models
                 sys.modules["torchvision.models.resnet"] = resnet
+        if "albumentations" not in sys.modules:
+            try:
+                import albumentations  # noqa: F401
+            except ImportError:
+                A, pytorch, transforms = _make_albumentations_module()
+                sys.modules["albumentations"] = A
+                sys.modules["albumentations.pytorch"] = pytorch
+                sys.modules["albumentations.pytorch.transforms"] = transforms
         if "kornia" not in sys.modules:
             try:
                 import kornia  # noqa: F401
