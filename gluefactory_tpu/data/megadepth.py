@@ -317,12 +317,13 @@ class _MegaDepthItems:
         # +/- 90 degree rotation augmentation (reference megadepth.py:279-326)
         k_rot = 0
         if conf.p_rotate > 0.0 and self.split == "train" and rng.random() < conf.p_rotate:
-            k_rot = int(rng.choice(2)) * 2 - 1  # -1 or +1
+            k_rot = int(rng.choice(2)) * 2 - 1  # -1 or +1 (cw / ccw)
+            pre_shape = img.shape[:2]  # rotate_intrinsics wants PRE-rotation (h, w)
             img = np.rot90(img, k=-k_rot, axes=(0, 1)).copy()
             if depth is not None:
                 depth = np.rot90(depth, k=-k_rot, axes=(0, 1)).copy()
-            K = rotate_intrinsics(K, (img.shape[0], img.shape[1]), k_rot + 2)
-            T = rotate_pose_inplane(T, k_rot + 2)
+            K = rotate_intrinsics(K, pre_shape, k_rot % 4)
+            T = rotate_pose_inplane(T, k_rot % 4)
 
         data = self.preprocessor(img)
         if depth is not None:

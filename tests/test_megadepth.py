@@ -36,7 +36,11 @@ def fake_megadepth(tmp_path, monkeypatch):
         T = np.eye(4, dtype=np.float32)
         T[:3, 3] = [0.1 * i, 0, 0]
         poses.append(T)
-        K = np.array([[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1]], np.float32)
+        # asymmetric principal point: a flipped/swapped cx-cy update cannot
+        # masquerade as correct the way a centered one can
+        K = np.array(
+            [[100.0, 0, w / 2 + 3.7], [0, 95.0, h / 2 - 2.3], [0, 0, 1]], np.float32
+        )
         intrinsics.append(K)
     overlap = rng.uniform(0.3, 0.9, (n_imgs, n_imgs))
     np.fill_diagonal(overlap, 1.0)
@@ -111,19 +115,106 @@ def test_megadepth_geometry_consistency(fake_megadepth):
     assert np.asarray(out["visible0"]).sum() > 0
 
 
+def test_rotate_intrinsics_pose_projective_exact():
+    """Brute-force pin of the +/-90/180-degree camera update (VERDICT r4
+    weak #2): for every pixel of a random-depth scene, the world point seen
+    at that pixel must project through the ROTATED (K', T') exactly onto the
+    pixel's np.rot90-mapped continuous position. Catches a 1-px flip error
+    (`w - 1 - cx` vs `w - cx`) and any h/w swap with zero geometric
+    ambiguity — K'[R'|t'] factorizations are unique (RQ), so matching the
+    full projection pins both factors."""
+    import cv2
+
+    from gluefactory_tpu.data.utils import rotate_intrinsics, rotate_pose_inplane
+
+    h, w = 10, 14
+    K = np.array([[50.0, 0, 5.3], [0, 40.0, 7.1], [0, 0, 1]], np.float64)
+    R_w2c = cv2.Rodrigues(np.array([0.2, -0.3, 0.1]))[0]
+    T = np.eye(4)
+    T[:3, :3] = R_w2c
+    T[:3, 3] = [0.4, -0.2, 2.0]
+    rng = np.random.default_rng(0)
+    depth = rng.uniform(2.0, 6.0, (h, w))
+
+    # world point seen at each pixel center (c+0.5, r+0.5) of the ORIGINAL view
+    cols, rows = np.meshgrid(np.arange(w), np.arange(h))
+    xy1 = np.stack([cols + 0.5, rows + 0.5, np.ones_like(cols, np.float64)], -1)
+    p_cam = depth[..., None] * (np.linalg.inv(K) @ xy1.reshape(-1, 3).T).T.reshape(h, w, 3)
+    p_world = (np.linalg.inv(T) @ np.concatenate(
+        [p_cam, np.ones((h, w, 1))], -1).reshape(-1, 4).T).T[:, :3]
+
+    pixel_ids = np.arange(h * w).reshape(h, w)
+    for rot in (1, 2, 3):
+        # ground-truth pixel mapping straight from np.rot90 index semantics
+        ids_rot = np.rot90(pixel_ids, k=-rot)
+        r2, c2 = np.divmod(np.argsort(ids_rot.ravel()), ids_rot.shape[1])
+        expected = np.stack([c2 + 0.5, r2 + 0.5], -1)  # [h*w, 2] by pixel id
+
+        K2 = rotate_intrinsics(K, (h, w), rot)
+        T2 = rotate_pose_inplane(T, rot)
+        p_cam2 = (T2 @ np.concatenate([p_world, np.ones((h * w, 1))], -1).T).T[:, :3]
+        proj = (K2.astype(np.float64) @ p_cam2.T).T
+        proj = proj[:, :2] / proj[:, 2:]
+        np.testing.assert_allclose(proj, expected, atol=1e-4, err_msg=f"rot={rot}")
+
+
 def test_megadepth_rotation_augmentation(fake_megadepth):
+    """p_rotate=1.0 depth-reprojection consistency (VERDICT r4 next #6):
+    project a keypoint grid from the rotated view0 through the emitted
+    depth/pose into the rotated view1 and demand POSITIVE GT matches at a
+    0.2-px threshold — the symmetric max-reprojection check in
+    `gt_matches_from_pose_depth` closes the cycle through BOTH views'
+    rotated cameras, so a 1-px principal-point error (0.5 px at the emitted
+    scale) or any h/w swap kills the matches. 8 deterministic items cover
+    mixed (cw, ccw) per-view rotation draws, where single-view errors
+    cannot cancel."""
+    import jax.numpy as jnp
+
     from gluefactory_tpu.data import get_dataset
+    from gluefactory_tpu.data.base_dataset import collate, prepare_batch
+    from gluefactory_tpu.geometry.depth import project, sample_depth
+    from gluefactory_tpu.geometry.gt_generation import gt_matches_from_pose_depth
 
     ds = get_dataset("megadepth")(
         {
             "train_split": "train.txt",
-            "train_num_per_scene": 4,
+            "train_num_per_scene": 8,
             "p_rotate": 1.0,
             "preprocessing": {"resize": 64, "side": "long"},
         }
     )
     tds = ds.get_dataset("train")
-    item = tds[0]
-    # rotated by 90: aspect flips
-    img = item["view0"]["image"]
-    assert img.shape[0] != img.shape[1]
+    assert len(tds) >= 4
+    checked = 0
+    for idx in range(min(len(tds), 8)):
+        batch = prepare_batch(collate([tds[idx]]))
+        img0 = batch["view0"]["image"]
+        assert img0.shape[1] != img0.shape[2]  # +/-90: aspect flipped
+        h0, w0 = img0.shape[1:3]
+        xs = np.linspace(4, w0 - 4, 6)
+        ys = np.linspace(4, h0 - 4, 6)
+        kp0 = jnp.asarray(
+            np.stack(np.meshgrid(xs, ys), -1).reshape(1, -1, 2), jnp.float32
+        )
+        cam0, cam1 = batch["view0"]["camera"], batch["view1"]["camera"]
+        T = batch["T_0to1"]
+        depth0 = jnp.asarray(batch["view0"]["depth"])
+        depth1 = jnp.asarray(batch["view1"]["depth"])
+        d0, valid0 = sample_depth(kp0, depth0)
+        # ccth=0.05 px^2 (0.22 px round trip): a systematic 0.5-px
+        # principal-point error fails it for EVERY grid point, so the n_vis
+        # floor below catches it; only border points (whose bilinear depth
+        # sample is contaminated by zero padding) may legitimately drop
+        kp0_in_1, vis0 = project(kp0, d0, depth1, cam0, cam1, T, valid0, ccth=0.05)
+        n_vis = int(np.asarray(vis0).sum())
+        assert n_vis >= 24, (idx, n_vis)
+        out = gt_matches_from_pose_depth(
+            kp0, kp0_in_1, cam0, cam1, T, depth0, depth1, pos_th=0.2, neg_th=0.4
+        )
+        m0 = np.asarray(out["matches0"])[0]
+        vis = np.asarray(vis0)[0]
+        # every cycle-consistent grid point must match its own projection
+        matched = (m0[vis] == np.flatnonzero(vis)).mean()
+        assert matched > 0.9, (idx, matched, n_vis)
+        checked += 1
+    assert checked == min(len(tds), 8)
