@@ -73,6 +73,10 @@ class _PosedItems:
             )(depth[..., None])
             data["depth"] = dproc["image"][..., 0]
             data["valid_depth"] = (data["depth"] > 0).astype(np.float32)
+        if self.conf.extra_data:
+            data.update(
+                zip(self.conf.extra_keys, parent.extra_data[scene][name])
+            )
         return data
 
     def __getitem__(self, idx):
@@ -99,6 +103,11 @@ class PosedImageDataset(BaseDataset):
         "view_groups": "{scene}/pairs.txt",
         "depth_format": "h5",
         "scene_list": None,
+        # per-scene side-data text file (reference posed_images.py:71-72,
+        # 120-131,166-169): lines `name v1 v2 ...` (literal-eval'd, `#`
+        # comments skipped), merged into each view as dict(zip(extra_keys, vs))
+        "extra_data": None,
+        "extra_keys": [],
         "preprocessing": {},
     }
 
@@ -120,6 +129,7 @@ class PosedImageDataset(BaseDataset):
         else:
             self.scenes = [s.name for s in self.root.glob("*") if s.is_dir()]
         self.views = {}
+        self.extra_data = {}
         self.items = []
         for scene in self.scenes:
             views_path = self.root / conf.views.format(scene=scene)
@@ -128,6 +138,24 @@ class PosedImageDataset(BaseDataset):
                     line.rstrip().split(" ")[0]: line.rstrip().split(" ")[1:]
                     for line in f
                 }
+            if conf.extra_data:
+                import ast
+
+                lines = (
+                    (self.root / conf.extra_data.format(scene=scene))
+                    .read_text()
+                    .rstrip("\n")
+                    .split("\n")
+                )
+                self.extra_data[scene] = {
+                    line.split(" ")[0]: [
+                        ast.literal_eval(x) for x in line.rstrip().split(" ")[1:]
+                    ]
+                    for line in lines
+                    if not line.startswith("#")
+                }
+                for name in self.extra_data[scene]:
+                    assert name in self.views[scene], (scene, name)
             if conf.view_groups:
                 groups_path = self.root / conf.view_groups.format(scene=scene)
                 groups = groups_path.read_text().rstrip("\n").split("\n")

@@ -84,10 +84,11 @@ class ZEBPairs(BaseDataset):
         "scene_list": None,
         "exclude_scenes": None,
         "shuffle": False,
-        "zeb_seed": 42,
+        "seed": 42,  # shuffle seed (reference zeb.py:64 overrides the base seed)
         "max_per_scene": None,
         "min_overlap": 0.0,
         "max_overlap": 1.0,
+        "check": False,  # validate pair files at init (reference zeb.py:68,92-96)
     }
 
     def _init(self, conf):
@@ -105,6 +106,9 @@ class ZEBPairs(BaseDataset):
         self.items = []
         for i, scene in enumerate(sorted(self.scenes)):
             pair_files = list((self.root / scene).glob("*.txt"))
+            if conf.check:
+                for pair_file in pair_files[:900]:
+                    parse_pairs(pair_file)  # asserts names/paths parse
             if conf.min_overlap > 0.0 or conf.max_overlap < 1.0:
                 overlaps = np.array(
                     [min(*parse_overlap(read_pair_data(p)[2:4])) for p in pair_files]
@@ -121,7 +125,7 @@ class ZEBPairs(BaseDataset):
             self.items.extend(pair_files)
         if conf.shuffle:
             self.items = sorted(self.items, key=lambda x: x.stem)
-            np.random.RandomState(conf.zeb_seed).shuffle(self.items)
+            np.random.RandomState(conf.seed).shuffle(self.items)
         self.preprocessor = ImagePreprocessor(conf.preprocessing)
 
     def get_dataset(self, split):

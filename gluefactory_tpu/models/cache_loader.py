@@ -71,7 +71,7 @@ class CacheLoader:
         "data_keys": ["keypoints", "keypoint_scores", "descriptors"],
         "scale": ["keypoints", "lines", "orig_lines"],
         "padding_length": None,
-        "numeric_dtype": "float32",
+        "numeric_type": "float32",  # reference cache_loader.py:27 user-facing key name
         "collate": False,
     }
 
@@ -107,7 +107,7 @@ class CacheLoader:
             if k in grp:
                 arr = np.asarray(grp[k])
                 if np.issubdtype(arr.dtype, np.floating):
-                    arr = arr.astype(self.conf.numeric_dtype)
+                    arr = arr.astype(self.conf.numeric_type)
                 pred[k] = arr
         # rescale into processed coordinates
         scales = data.get("scales")

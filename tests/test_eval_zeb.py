@@ -57,6 +57,22 @@ def test_zeb_dataset(fake_zeb):
     assert batch["name"][0].startswith(("gl3d/", "kitti/"))
 
 
+def test_zeb_check_validates_pair_files(fake_zeb):
+    """`check: True` parses every pair file at init (reference
+    zeb.py:68,92-96): valid layouts pass, a corrupt pair file raises."""
+    from gluefactory_tpu.data import get_dataset
+
+    ds = get_dataset("zeb")({"root": "zeb", "check": True, "num_workers": 0})
+    assert len(ds.get_dataset("test")) == 4
+    bad = fake_zeb / "gl3d" / "sub-im9-im8.txt"
+    bad.write_text("im9.png im8.png 0.5 0.5\n")  # images don't exist
+    try:
+        with pytest.raises((IndexError, AssertionError, ValueError)):
+            get_dataset("zeb")({"root": "zeb", "check": True, "num_workers": 0})
+    finally:
+        bad.unlink()
+
+
 def test_zeb_overlap_filtering(fake_zeb):
     from gluefactory_tpu.data import get_dataset
 

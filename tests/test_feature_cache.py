@@ -36,7 +36,7 @@ def test_cache_loader_roundtrip(tmp_path):
         g.create_dataset("keypoint_scores", data=rng.uniform(0, 1, 20).astype(np.float32))
         g.create_dataset("descriptors", data=rng.normal(size=(20, 64)).astype(np.float16))
     loader = CacheLoader(
-        {"path": str(path), "padding_length": 32, "numeric_dtype": "float32"}
+        {"path": str(path), "padding_length": 32, "numeric_type": "float32"}
     )
     out = loader({"name": "img1.jpg", "scales": np.array([0.5, 0.5], np.float32)})
     assert out["keypoints"].shape == (32, 2)
