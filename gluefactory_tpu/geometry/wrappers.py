@@ -75,7 +75,12 @@ class Pose:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        # MUST be purely structural: jax unflattens with non-array
+        # placeholders (ArgInfo during .lower(), tracers, None in
+        # tree_map over structures), which __init__'s jnp.asarray rejects
+        obj = cls.__new__(cls)
+        obj.R, obj.t = children
+        return obj
 
     # -- core ops ---------------------------------------------------------
     @property
@@ -204,7 +209,10 @@ class Camera:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        # purely structural (see Pose.tree_unflatten)
+        obj = cls.__new__(cls)
+        obj.size, obj.f, obj.c, obj.dist = children
+        return obj
 
     @property
     def shape(self):

@@ -90,6 +90,11 @@ default_train_conf = {
     # stacked batches): amortizes per-dispatch overhead — essential on
     # relayed/remote PJRT backends, harmless on local chips
     "steps_per_dispatch": 1,
+    # accumulate gradients over K loader batches before each optimizer
+    # update (optax.MultiSteps): effective batch = K * data.batch_size.
+    # How the stage-2 MegaDepth recipe's B=32 fits one v5e chip (B=8 is
+    # the largest direct fit at 1024^2/2048kpts — ROADMAP round-5 perf log)
+    "grad_accumulation": 1,
     # on-device synthetic-pair generation (data/device_homography.py): the
     # loader streams source images only (data.emit_source: true); warps +
     # photometric jitter run inside the train step
@@ -220,6 +225,11 @@ def build_optimizer(conf, params, model, steps_per_epoch: int):
 
     labels = jax.tree.map(label, paths)
     tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    accum = int(conf.get("grad_accumulation") or 1)
+    if accum > 1:
+        # outermost so freezing/clipping see the accumulated (averaged) grads;
+        # the lr schedule advances once per real update, not per micro-step
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     n_train = sum(jax.tree.leaves(jax.tree.map(lambda s: s == "train", labels)))
     n_total = len(jax.tree.leaves(labels))
     logger.info("Optimizer: %d/%d parameter tensors trainable", n_train, n_total)

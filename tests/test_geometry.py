@@ -300,3 +300,36 @@ def test_symmetric_reprojection_error_zero():
     err, v = symmetric_reprojection_error(kp0, kp1, cam, cam, T, depth0, depth1)
     err = np.asarray(err)[np.asarray(v & valid)]
     assert err.max() < 1e-2
+
+
+def test_pose_camera_pytree_unflatten_is_structural():
+    """tree_unflatten must be purely structural (jax unflattens with
+    ArgInfo placeholders during jit .lower(), tracers under transforms, and
+    arbitrary leaves under tree_map) — an __init__ that calls jnp.asarray
+    breaks AOT lowering of any function whose args carry Pose/Camera
+    (hit by scripts_dev/profile_stage2.py)."""
+    T = Pose.from_4x4mat(jnp.eye(4))
+    cam = Camera(
+        jnp.asarray([64.0, 48.0]), jnp.asarray([50.0, 50.0]),
+        jnp.asarray([32.0, 24.0]),
+    )
+
+    # round-trip preserves leaves
+    for obj in (T, cam):
+        leaves, treedef = jax.tree_util.tree_flatten(obj)
+        obj2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        for a, b in zip(leaves, jax.tree_util.tree_flatten(obj2)[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # non-array placeholders survive unflatten (the actual contract)
+    _, treedef = jax.tree_util.tree_flatten(T)
+    jax.tree_util.tree_unflatten(treedef, [object(), object()])
+
+    # AOT lowering over a batch carrying Pose/Camera works end-to-end
+    def fn(batch):
+        p3d = batch["camera"].image2cam(batch["kp"]) * 2.0
+        return batch["T"].transform(p3d).sum()
+
+    batch = {"camera": cam, "T": T, "kp": jnp.ones((1, 4, 2))}
+    compiled = jax.jit(fn).lower(batch).compile()
+    assert np.isfinite(float(compiled(batch)))

@@ -142,3 +142,104 @@ def test_multi_step_dispatch(tiny_conf, tmp_path):
     for leaf in jax.tree.leaves(variables["params"]):
         assert np.isfinite(np.asarray(leaf)).all()
     assert (out_dir / "checkpoint_best.msgpack").exists()
+
+
+def test_grad_accumulation_matches_big_batch():
+    """`train.grad_accumulation=k` over k micro-batches equals one optimizer
+    step on the concatenated batch (equal micro-batch sizes, f32): optax
+    MultiSteps averages the accumulated grads, and mean-of-means over equal
+    splits is the global mean."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.models import get_model
+    from gluefactory_tpu.train import (
+        build_optimizer,
+        default_train_conf,
+        make_train_step,
+    )
+
+    conf = {
+        "matcher": {
+            "name": "lightglue",
+            "n_layers": 2,
+            "descriptor_dim": 64,
+            "input_dim": 64,
+            "num_heads": 2,
+            "checkpointed": False,
+        },
+        "ground_truth": {"name": "homography_matcher"},
+        "allow_no_extract": True,
+    }
+    model = get_model("two_view_pipeline").from_conf(conf)
+
+    def make_feat_batch(b, seed):
+        rng = np.random.default_rng(seed)
+        n, d = 24, 64
+        size = np.tile(np.asarray([[64.0, 64.0]], np.float32), (b, 1))
+        return {
+            "view0": {"image_size": jnp.asarray(size)},
+            "view1": {"image_size": jnp.asarray(size)},
+            "cache0": None,  # unused; features supplied directly
+            "keypoints0": jnp.asarray(rng.uniform(0, 64, (b, n, 2)), jnp.float32),
+            "keypoints1": jnp.asarray(rng.uniform(0, 64, (b, n, 2)), jnp.float32),
+            "descriptors0": jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32),
+            "descriptors1": jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32),
+            "keypoint_scores0": jnp.ones((b, n), jnp.float32),
+            "keypoint_scores1": jnp.ones((b, n), jnp.float32),
+            "H_0to1": jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1)),
+        }
+
+    # LightGlue consumes suffixed features via the pipeline's no-extract path
+    # only when views carry caches; simpler: drive the matcher directly
+    matcher = get_model("lightglue").from_conf(conf["matcher"])
+    gt = get_model("homography_matcher").from_conf({})
+
+    class Wrapper:
+        """Minimal model facade for make_train_step/build_optimizer."""
+
+        conf = matcher.conf
+        components = []
+
+        def apply(self, variables, batch, method=None, mutable=None, rngs=None):
+            pred = matcher.apply(
+                {"params": variables["params"]}, batch, rngs=rngs
+            )
+            gt_pred = gt.apply({"params": {}}, {**batch, **pred})
+            losses, metrics = matcher.apply(
+                {"params": variables["params"]},
+                pred,
+                {**batch, **gt_pred},
+                method="loss",
+            )
+            return ((pred, losses, metrics), {})
+
+        def init(self, rngs, batch):
+            return matcher.init(rngs, batch)
+
+    wrapper = Wrapper()
+    big = make_feat_batch(4, 0)
+    halves = [
+        jax.tree.map(lambda x: x[:2] if hasattr(x, "ndim") and x.ndim else x, big),
+        jax.tree.map(lambda x: x[2:] if hasattr(x, "ndim") and x.ndim else x, big),
+    ]
+    variables = {"params": matcher.init({"params": jax.random.key(0)}, big)["params"]}
+
+    def run(accum, batches):
+        tconf = Config(dict(default_train_conf, grad_accumulation=accum, lr=1e-3))
+        tx, _ = build_optimizer(tconf, variables["params"], wrapper, 10)
+        opt_state = tx.init(variables["params"])
+        step = jax.jit(make_train_step(wrapper, tx))
+        v = dict(variables)
+        for i, b in enumerate(batches):
+            v, opt_state, losses, metrics, info = step(
+                v, opt_state, b, jax.random.key(7)
+            )
+        return v["params"]
+
+    p_big = run(1, [big])
+    p_acc = run(2, halves)
+    a = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(p_big)])
+    b = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(p_acc)])
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
