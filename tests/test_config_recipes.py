@@ -2,6 +2,7 @@
 (scaled down to hermetic synthetic data) — the strongest proof that the
 public config API works end to end."""
 
+import pytest
 from pathlib import Path
 
 import numpy as np
@@ -44,6 +45,7 @@ def run_recipe(conf_name, extra):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_superpoint_lightglue_homography_recipe():
     run_recipe(
         "superpoint+lightglue_homography.yaml",
@@ -71,6 +73,7 @@ GLUESTICK_EXTRA = {
 
 
 
+@pytest.mark.slow
 def test_gluestick_homography_recipe_precomputed_lines():
     """Default GlueStick launch path: the shipped recipe precomputes LSD
     lines + junctions in the data workers (data.detect_lines), so the jitted

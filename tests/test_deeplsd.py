@@ -1,6 +1,7 @@
 """Native DeepLSD: GT field generation, field->segment vectorization, and
 the trainable DF/AF net (models/lines/deeplsd.py)."""
 
+import pytest
 import math
 
 import jax
@@ -115,6 +116,7 @@ def test_vectorizer_recovers_synthetic_segments():
     assert np.isclose(scores[0][valid[0]].max(), 1.0)
 
 
+@pytest.mark.slow
 def test_deeplsd_net_trains():
     rng = np.random.default_rng(1)
     h = w = 64

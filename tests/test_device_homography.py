@@ -2,6 +2,7 @@
 H_0to1 (cross-view photoconsistency) and end-to-end training with
 `train.device_augment`."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +41,7 @@ def test_max_difficulty_homographies_finite():
         assert np.isfinite(np.asarray(jnp.linalg.inv(H))).all()
 
 
+@pytest.mark.slow
 def test_cross_view_photoconsistency():
     """A point in view0 mapped by H_0to1 must see the same source content in
     view1 (no photometric jitter)."""
@@ -66,6 +68,7 @@ def test_cross_view_photoconsistency():
     assert np.median(diff) < 0.05, np.median(diff)
 
 
+@pytest.mark.slow
 def test_training_with_device_augment(tmp_path):
     from gluefactory_tpu.core.config import Config, merge
     from gluefactory_tpu.train import default_conf, main_args, training

@@ -8,6 +8,7 @@ confidence); these tests pin the converter against the documented layout
 and prove the end-to-end loading path, the LoFTR converter standard.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,6 +49,7 @@ def _fake_disk_sd(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_disk_converter_roundtrip():
     from gluefactory_tpu.compat.torch_conversion import convert_disk
 
@@ -77,6 +79,7 @@ def test_disk_converter_roundtrip():
     assert np.isfinite(np.asarray(out["descriptors"])).all()
 
 
+@pytest.mark.slow
 def test_disk_lightglue_official_weights_path(tmp_path):
     """convert_disk msgpack -> model.extractor.weights_file -> the eval
     loader merges it and the disk+lightglue-official pipeline runs

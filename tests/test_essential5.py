@@ -110,6 +110,7 @@ def test_essential_5pt_epipolar_consistency():
 
 
 @pytest.mark.parametrize("outlier_ratio", [0.2, 0.4, 0.6])
+@pytest.mark.slow
 def test_ransac_5pt_vs_cv2(outlier_ratio):
     """Full 5pt XLA RANSAC pose accuracy matches cv2.findEssentialMat on
     synthetic scenes with noise + outliers (VERDICT #2 done-criteria)."""
@@ -160,6 +161,7 @@ def test_ransac_5pt_vs_cv2(outlier_ratio):
     assert ours < max(2.0 * ref, 1.0), (ours, ref, ours_max, cv2_max)
 
 
+@pytest.mark.slow
 def test_ransac_5pt_beats_8pt_at_high_outliers():
     """The motivating claim: 5-point minimal sampling survives outlier rates
     where 8-point sampling starts failing (r^5 vs r^8)."""

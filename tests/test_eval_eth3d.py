@@ -76,6 +76,7 @@ def test_eth3d_dataset(fake_eth3d):
     assert batch["T_0to1"].shape == (1, 4, 4)
 
 
+@pytest.mark.slow
 def test_eth3d_eval_pipeline_points(fake_eth3d, tmp_path):
     from gluefactory_tpu.eval.eth3d import ETH3DPipeline
 

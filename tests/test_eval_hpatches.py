@@ -43,6 +43,7 @@ def test_hpatches_dataset(fake_hpatches):
     assert batch["H_0to1"].shape == (1, 3, 3)
 
 
+@pytest.mark.slow
 def test_hpatches_eval_pipeline(fake_hpatches, tmp_path):
     from gluefactory_tpu.eval.hpatches import HPatchesPipeline
 
@@ -74,6 +75,7 @@ def test_hpatches_eval_pipeline(fake_hpatches, tmp_path):
     assert len(r["H_error_dlt"]) == 10
 
 
+@pytest.mark.slow
 def test_hpatches_eval_pipeline_matcher_only_loftr(fake_hpatches, tmp_path):
     """Dense detector-free matchers produce their OWN keypoints: the
     pipeline must run with no extractor (native LoFTR) through the full

@@ -65,6 +65,7 @@ def test_md1500_dataset(fake_md1500):
     assert batch["view0"]["camera"]["f"].shape == (1, 2)
 
 
+@pytest.mark.slow
 def test_md1500_grouped_export_matches_per_item(fake_md1500, tmp_path):
     """items_per_dispatch>1 (padded group dispatch, partial trailing group)
     writes a predictions.h5 item-for-item equal to per-item dispatch."""
@@ -143,6 +144,7 @@ def test_md1500_grouped_export_matches_per_item(fake_md1500, tmp_path):
         np.testing.assert_array_equal(a, b, err_msg=p)
 
 
+@pytest.mark.slow
 def test_md1500_eval_pipeline(fake_md1500, tmp_path):
     from gluefactory_tpu.eval.megadepth1500 import MegaDepth1500Pipeline
 

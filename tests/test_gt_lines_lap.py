@@ -10,6 +10,7 @@ why `_line_gt_from_overlaps` uses the AUCTION solver, which is eps-optimal
 (<= M*eps value gap) and agrees with Hungarian up to ties.
 """
 
+import pytest
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
@@ -64,6 +65,7 @@ def solver_stats(matrices, min_score, solver):
     return agree / total, value_gap / len(matrices), max_gap
 
 
+@pytest.mark.slow
 def test_auction_matches_hungarian_on_overlap_matrices():
     rng = np.random.default_rng(0)
     mats = [overlap_like_matrix(rng, 24, 28) for _ in range(50)]
@@ -75,6 +77,7 @@ def test_auction_matches_hungarian_on_overlap_matrices():
     assert rate > 0.95, f"agreement {rate:.3f}"
 
 
+@pytest.mark.slow
 def test_auction_matches_hungarian_dense_noisy():
     rng = np.random.default_rng(1)
     mats = [rng.uniform(0, 1, (16, 16)).astype(np.float32) for _ in range(30)]

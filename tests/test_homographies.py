@@ -185,6 +185,7 @@ def test_homography_cached_feature_items(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_homography_cached_feature_training(tmp_path):
     """Train LightGlue from fabricated cached features through the homography
     dataset with NO extractor (the test_feature_cache.py standard, reference

@@ -2,6 +2,7 @@
 conf): layer-level quantization error bounds and end-to-end agreement of
 the int8 dense pass with the fp32 reference forward."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,6 +57,7 @@ def test_int8_max_pool_scale_preserving():
     assert np.allclose(p8, np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_superpoint_int8_end_to_end_agreement():
     """Full quantized dense pass vs the fp32 forward: the dense score map
     stays highly correlated and descriptors nearly parallel, even with
@@ -107,6 +109,7 @@ def test_superpoint_int8_train_falls_back():
     )
 
 
+@pytest.mark.slow
 def test_int8_similarity_matcher_close_to_fp():
     """`int8_similarity` (dynamic per-token quantization of the assignment
     similarity) must track the fp path closely and stay mask-inert."""

@@ -1,5 +1,6 @@
 """Native KeyNet+HardNet extractor: shapes, masks, rotation behavior."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +17,7 @@ def _img(seed=0, h=96, w=128):
     return jnp.asarray(np.clip(x, 0, 1)[None, :, :, None])
 
 
+@pytest.mark.slow
 def test_keynet_forward_contract():
     model = get_model("keynet_affnet_hardnet").from_conf(
         {"max_num_keypoints": 64, "force_num_keypoints": True}

@@ -1,6 +1,7 @@
 """Tests for the line stack: LSD detection, wireframe junction clustering,
 GlueStick forward/loss, line GT generation with the batched greedy LAP."""
 
+import pytest
 import cv2
 import jax
 import jax.numpy as jnp
@@ -89,6 +90,7 @@ def test_gt_line_matches_identity():
     np.testing.assert_array_equal(m0, expected)
 
 
+@pytest.mark.slow
 def test_gluestick_forward_and_loss():
     from gluefactory_tpu.models import get_model
 
@@ -201,6 +203,7 @@ def test_wireframe_precomputed_lines_parity():
         )
 
 
+@pytest.mark.slow
 def test_gluestick_inter_supervision():
     from gluefactory_tpu.models import get_model
 

@@ -1,6 +1,7 @@
 """Native LoFTR: forward contract, identity-pair behavior, and converter
 round-trip (fabricated official-layout torch state dict -> our params)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,6 +110,7 @@ def _fake_loftr_sd(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_loftr_converter_roundtrip():
     """The converted official-layout state dict must slot exactly into our
     flax tree (same structure & shapes) and run."""

@@ -112,6 +112,7 @@ def test_lightglue_identical_descriptors_match():
     )
 
 
+@pytest.mark.slow
 def test_lightglue_loss_and_grads():
     lg = LightGlue.from_conf({"n_layers": 2, "checkpointed": False})
     data = make_matcher_inputs(add_mask=False)
@@ -152,6 +153,7 @@ def _cast_f32_to_bf16(tree):
     )
 
 
+@pytest.mark.slow
 def test_matcher_trunks_stay_bf16():
     """Regression for the f32-upcast leak class (ROADMAP round-4 perf log):
     f32 keypoints/scores/posenc entering a bf16 matcher must not promote the

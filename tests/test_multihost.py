@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
 @pytest.mark.multihost
+@pytest.mark.slow
 def test_dryrun_multihost_2proc():
     import __graft_entry__ as g
 

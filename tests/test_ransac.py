@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +83,7 @@ def make_epipolar_data(n_in=100, n_out=50, noise=0.3, seed=0):
     return kpts0, kpts1, cam, T_gt
 
 
+@pytest.mark.slow
 def test_ransac_essential_recovers():
     kpts0, kpts1, cam, T_gt = make_epipolar_data()
     p0 = np.asarray(cam.normalize(jnp.asarray(kpts0[None])))[0]
@@ -97,6 +99,7 @@ def test_ransac_essential_recovers():
     assert float(t_err) < 5.0, float(t_err)
 
 
+@pytest.mark.slow
 def test_xla_relative_pose_estimator():
     kpts0, kpts1, cam, T_gt = make_epipolar_data(seed=3)
     est = load_estimator("relative_pose", "xla_ransac")({"ransac_th": 1.5})
@@ -154,6 +157,7 @@ def test_native_two_view_estimator_general_scene():
     assert float(t_err) < 5.0
 
 
+@pytest.mark.slow
 def test_native_two_view_estimator_planar_scene():
     """A purely planar scene routes through the homography-decomposition
     pose path and still recovers R/t."""

@@ -8,6 +8,7 @@ confidence); this pins the converter against the documented layout — the
 LoFTR/DISK converter standard.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -145,6 +146,7 @@ def _fake_dinov2_sd(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_roma_converter_roundtrip():
     from gluefactory_tpu.compat.torch_conversion import (
         convert_roma,

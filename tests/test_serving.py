@@ -42,6 +42,7 @@ def _bias_confidence(variables, layer_bias: dict):
 
 @pytest.mark.parametrize("width_conf", [-1.0, 0.99])
 @pytest.mark.parametrize("int8_sim", [False, True])
+@pytest.mark.slow
 def test_serving_parity_with_masked_pruned_path(width_conf, int8_sim):
     conf = {
         "n_layers": 4,

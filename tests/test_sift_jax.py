@@ -1,6 +1,7 @@
 """Tests for the TPU-native DoG SIFT (ops/sift_jax.py): static shapes,
 agreement with OpenCV's SIFT on a textured image, and model wiring."""
 
+import pytest
 import cv2
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,7 @@ def make_texture(h=240, w=320, seed=0):
     return np.clip(img, 0, 1)
 
 
+@pytest.mark.slow
 def test_sift_jax_shapes_and_masks():
     img = jnp.asarray(make_texture()[None])
     out = sift_detect(img, 128)
@@ -53,6 +55,7 @@ def test_sift_jax_agrees_with_opencv():
     assert (d < 3.0).mean() >= 0.5, (d < 3.0).mean()
 
 
+@pytest.mark.slow
 def test_sift_model_jax_backend():
     from gluefactory_tpu.models import get_model
 

@@ -1,12 +1,14 @@
 """SuperGlue training smoke test: the Sinkhorn-OT matcher must overfit a
 fixed synthetic matching problem (loss decreases; BN stats update)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
 
+@pytest.mark.slow
 def test_superglue_overfits_synthetic():
     from gluefactory_tpu.models import get_model
 

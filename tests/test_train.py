@@ -56,6 +56,7 @@ def tiny_conf(tmp_path_factory):
     )
 
 
+@pytest.mark.slow
 def test_training_runs_and_checkpoints(tiny_conf, tmp_path):
     args = main_args(["test_exp", "--no_tensorboard", "--max_val_iters", "1"])
     out_dir = tmp_path / "exp"
@@ -71,6 +72,7 @@ def test_training_runs_and_checkpoints(tiny_conf, tmp_path):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_overfit_loss_decreases(tiny_conf, tmp_path):
     """Frozen random SuperPoint + trainable LightGlue on a single repeated
     batch: the assignment NLL must drop substantially."""
@@ -127,6 +129,7 @@ def test_overfit_loss_decreases(tiny_conf, tmp_path):
     assert float(np.asarray(metrics["match_precision"]).mean()) > 0.5, metrics
 
 
+@pytest.mark.slow
 def test_multi_step_dispatch(tiny_conf, tmp_path):
     """steps_per_dispatch>1: K chained optimizer steps in one jitted call
     must train equivalently (loss decreases, checkpoints written)."""
@@ -144,6 +147,7 @@ def test_multi_step_dispatch(tiny_conf, tmp_path):
     assert (out_dir / "checkpoint_best.msgpack").exists()
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_big_batch():
     """`train.grad_accumulation=k` over k micro-batches equals one optimizer
     step on the concatenated batch (equal micro-batch sizes, f32): optax

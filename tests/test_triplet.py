@@ -1,11 +1,13 @@
 """Triplet pipeline test: 3 synthetic homography views, one stacked matcher
 pass, per-pair losses."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@pytest.mark.slow
 def test_triplet_pipeline_forward_and_loss():
     from gluefactory_tpu.data import get_dataset
     from gluefactory_tpu.data.base_dataset import prepare_batch
