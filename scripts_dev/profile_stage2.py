@@ -35,6 +35,10 @@ SIZE = int(os.environ.get("STAGE2_SIZE", "1024"))
 KPTS = int(os.environ.get("STAGE2_KPTS", "2048"))
 # gradient accumulation (optax.MultiSteps): effective batch = ACCUM * B
 ACCUM = int(os.environ.get("STAGE2_ACCUM", "1"))
+# decomposition knobs: GT=homography swaps the depth GT for the (cheap)
+# homography GT; FWD_ONLY=1 times forward+GT+loss without grads/update
+GT = os.environ.get("STAGE2_GT", "depth")
+FWD_ONLY = os.environ.get("STAGE2_FWD_ONLY", "0") == "1"
 
 
 def make_batch(B: int):
@@ -69,6 +73,7 @@ def make_batch(B: int):
         T = np.eye(4, dtype=np.float32)
         T[0, 3] = 0.4 + 0.01 * b
         item["T_0to1"] = T
+        item["H_0to1"] = np.eye(3, dtype=np.float32)
         items.append(item)
     return strip_non_arrays(prepare_batch(collate(items)))
 
@@ -101,12 +106,16 @@ def run(B: int):
                 "flash": True,
                 "checkpointed": True,
             },
-            "ground_truth": {
-                "name": "depth_matcher",
-                "th_positive": 3,
-                "th_negative": 5,
-                "th_epi": 5,
-            },
+            "ground_truth": (
+                {
+                    "name": "depth_matcher",
+                    "th_positive": 3,
+                    "th_negative": 5,
+                    "th_epi": 5,
+                }
+                if GT == "depth"
+                else {"name": "homography_matcher", "th_positive": 3}
+            ),
             "allow_no_extract": True,
         }
     )
@@ -126,6 +135,29 @@ def run(B: int):
     tx, _ = build_optimizer(train_conf, variables["params"], model, 1000)
     opt_state = tx.init(variables["params"])
     base_step = make_train_step(model, tx, "bf16")
+    if FWD_ONLY:
+        from gluefactory_tpu.train import make_eval_step
+
+        ev = make_eval_step(model)
+
+        def base_step(variables, opt_state, batch, rng):  # noqa: F811
+            b = dict(batch)
+            for view in ("view0", "view1"):
+                b[view] = dict(b[view])
+                b[view]["image"] = b[view]["image"].astype(jnp.bfloat16)
+            losses, metrics, _ = ev(
+                {
+                    "params": jax.tree.map(
+                        lambda x: x.astype(jnp.bfloat16)
+                        if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
+                        else x,
+                        variables["params"],
+                    )
+                },
+                b,
+                rng,
+            )
+            return variables, opt_state, {"total": losses["total"]}, metrics, {}
 
     @partial(jax.jit, static_argnames=("k",))
     def multi(variables, opt_state, batch, rng, k):
@@ -171,8 +203,9 @@ def run(B: int):
     ms_per_step = dt / K_STEPS * 1000
     out = {
         "metric": (
-            f"stage-2 MegaDepth train step (SP frozen {KPTS}kpts, LG-9 remat "
-            f"flash, depth GT, bf16, {SIZE}px, B={B}"
+            f"stage-2 MegaDepth {'fwd-only' if FWD_ONLY else 'train'} step "
+            f"(GT={GT}, SP frozen {KPTS}kpts, LG-9 remat "
+            f"flash, bf16, {SIZE}px, B={B}"
             + (f", grad_accum={ACCUM} -> eff B={ACCUM * B}" if ACCUM > 1 else "")
             + ")"
         ),
