@@ -268,7 +268,17 @@ class _ShimTransform:
 
 def _make_albumentations_module():
     A = types.ModuleType("albumentations")
-    A.__getattr__ = lambda name: _ShimTransform  # PEP 562: every A.* class
+
+    def _shim_getattr(name: str):
+        # PEP 562: every A.* transform class — but NOT dunders: inspect/
+        # importlib probe module attributes like __file__ and must get a
+        # clean AttributeError, not a class (torch.library's custom_op
+        # walks module files at import time)
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return _ShimTransform
+
+    A.__getattr__ = _shim_getattr
     A.ImageOnlyTransform = _ShimTransform
     pytorch = types.ModuleType("albumentations.pytorch")
     transforms = types.ModuleType("albumentations.pytorch.transforms")
