@@ -38,6 +38,7 @@ ACCUM = int(os.environ.get("STAGE2_ACCUM", "1"))
 # decomposition knobs: GT=homography swaps the depth GT for the (cheap)
 # homography GT; FWD_ONLY=1 times forward+GT+loss without grads/update
 GT = os.environ.get("STAGE2_GT", "depth")
+REMAT = os.environ.get("STAGE2_REMAT", "1") == "1"
 FWD_ONLY = os.environ.get("STAGE2_FWD_ONLY", "0") == "1"
 
 
@@ -104,7 +105,7 @@ def run(B: int):
                 "name": "lightglue",
                 "filter_threshold": 0.1,
                 "flash": True,
-                "checkpointed": True,
+                "checkpointed": REMAT,
             },
             "ground_truth": (
                 {
@@ -119,7 +120,10 @@ def run(B: int):
             "allow_no_extract": True,
         }
     )
-    batch = make_batch(B)
+    batch = jax.device_put(make_batch(B))  # device-resident: the timed
+    # calls must not re-pay the ~270 MB host->device relay transfer each
+    # dispatch (that cost is real for relay training but is reported by
+    # the transfer-inclusive number, not folded into compute ms/step)
     batch1 = jax.tree.map(
         lambda x: x[:1] if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x,
         batch,
@@ -204,8 +208,8 @@ def run(B: int):
     out = {
         "metric": (
             f"stage-2 MegaDepth {'fwd-only' if FWD_ONLY else 'train'} step "
-            f"(GT={GT}, SP frozen {KPTS}kpts, LG-9 remat "
-            f"flash, bf16, {SIZE}px, B={B}"
+            f"(GT={GT}, SP frozen {KPTS}kpts, LG-9 "
+            f"{'remat' if REMAT else 'NO-remat'} flash, bf16, {SIZE}px, B={B}"
             + (f", grad_accum={ACCUM} -> eff B={ACCUM * B}" if ACCUM > 1 else "")
             + ")"
         ),
