@@ -91,12 +91,12 @@ class _HomographyTorchDataset:
     def __len__(self):
         return len(self.image_names)
 
-    def _read_image(self, idx: int) -> np.ndarray:
+    def _read_image(self, idx: int) -> tuple:
         name = self.image_names[idx]
         if isinstance(name, int):  # synthetic
             return generate_synthetic_image(
                 name, tuple(self.conf.source_size)
-            )
+            ), 1.0
         from .preprocess import read_image
 
         try:
@@ -104,13 +104,16 @@ class _HomographyTorchDataset:
         except IOError:
             # unreadable image -> zero fallback (reference homographies.py:238-240)
             img = np.zeros((self.conf.source_size[1], self.conf.source_size[0], 3), np.float32)
-        # upscale tiny images to the working size
+        # upscale tiny images to the working size; the factor is returned so
+        # cached features (exported at native resolution) can be rescaled
+        # into the upscaled frame the homographies are sampled on
         h, w = img.shape[:2]
         sw, sh = self.conf.source_size
+        scale = 1.0
         if w < sw or h < sh:
             scale = max(sw / w, sh / h)
             img = cv2.resize(img, (int(np.ceil(w * scale)), int(np.ceil(h * scale))))
-        return img
+        return img, scale
 
     def _transform_features(self, features: dict, H: np.ndarray, patch_shape) -> dict:
         """Warp cached keypoints into the sampled view, drop out-of-bounds
@@ -148,7 +151,7 @@ class _HomographyTorchDataset:
         return features
 
     def _sample_view(
-        self, img: np.ndarray, rng: np.random.Generator, aug, hconf, name=None
+        self, img: np.ndarray, rng: np.random.Generator, aug, hconf, features=None
     ) -> dict:
         h, w = img.shape[:2]
         patch_shape = tuple(hconf.patch_shape)
@@ -182,10 +185,9 @@ class _HomographyTorchDataset:
                     dl.max_num_lines, dl.min_length, dl.nms_radius,
                 )
             )
-        if self.parent.feature_loader is not None:
-            # cached-feature path (reference homographies.py:228-231): load
-            # the base image's exported features, warp them into this view
-            features = self.parent.feature_loader({"name": str(name)})
+        if features is not None:
+            # cached-feature path (reference homographies.py:228-231): the
+            # base image's exported features, warped into this view
             view["cache"] = self._transform_features(features, H, patch_shape)
         return view
 
@@ -195,7 +197,7 @@ class _HomographyTorchDataset:
             rng = np.random.default_rng((conf.seed, self.parent.epoch, idx))
         else:
             rng = np.random.default_rng()
-        img = self._read_image(idx)
+        img, upscale = self._read_image(idx)
         if conf.emit_source:
             # on-device augmentation mode: ship the source image only;
             # warps + photometric jitter run inside the train step
@@ -209,6 +211,14 @@ class _HomographyTorchDataset:
                 "name": str(self.image_names[idx]),
             }
         name = self.image_names[idx]
+        features = None
+        if self.parent.feature_loader is not None:
+            # load once per item; CacheLoader's `scales` hook rescales the
+            # native-resolution export into the (possibly upscaled) frame
+            # the homographies are sampled on
+            features = self.parent.feature_loader(
+                {"name": str(name), "scales": np.array([upscale, upscale], np.float32)}
+            )
         n_views = 3 if conf.triplet else 2
         # right_only (reference homographies.py:62,168-170,245-249): view0 is
         # the original image rescaled to the patch (difficulty-0 homography),
@@ -222,7 +232,7 @@ class _HomographyTorchDataset:
                 rng,
                 self.parent.left_augment if i == 0 else self.parent.photo_augment,
                 left_hconf if i == 0 else conf.homography,
-                name=name,
+                features=features,
             )
             for i in range(n_views)
         ]
@@ -309,10 +319,14 @@ class HomographyDataset(BaseDataset):
                 else:
                     list_path = Path(conf.image_list)
                     if not list_path.is_absolute():
+                        # an explicit image_dir wins: the list sits next to
+                        # the images; only the default corpus resolves the
+                        # list under DATA_PATH/data_dir (reference
+                        # homographies.py:108-116 root-relative layout)
                         list_path = (
-                            DATA_PATH / conf.data_dir / conf.image_list
-                            if conf.data_dir
-                            else image_dir / conf.image_list
+                            image_dir / conf.image_list
+                            if conf.image_dir
+                            else DATA_PATH / conf.data_dir / conf.image_list
                         )
                     if not list_path.exists():
                         raise FileNotFoundError(f"cannot find image list {list_path}")

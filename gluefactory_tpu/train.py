@@ -192,7 +192,12 @@ def build_lr_schedule(conf, steps_per_epoch: int):
 
 
 def build_optimizer(conf, params, model, steps_per_epoch: int):
-    schedule = build_lr_schedule(conf, steps_per_epoch)
+    accum = int(conf.get("grad_accumulation") or 1)
+    # with gradient accumulation, optax advances the schedule once per REAL
+    # update (optax.MultiSteps), i.e. steps_per_epoch/accum times per data
+    # epoch — build the schedule in that unit or epoch-based decays would
+    # run accum-times too slowly
+    schedule = build_lr_schedule(conf, max(1, steps_per_epoch // accum))
     opts = dict(conf.optimizer_options or {})
     if conf.optimizer == "adam":
         opt = optax.adam(schedule, **opts)
@@ -225,7 +230,6 @@ def build_optimizer(conf, params, model, steps_per_epoch: int):
 
     labels = jax.tree.map(label, paths)
     tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
-    accum = int(conf.get("grad_accumulation") or 1)
     if accum > 1:
         # outermost so freezing/clipping see the accumulated (averaged) grads;
         # the lr schedule advances once per real update, not per micro-step
@@ -702,7 +706,14 @@ def training(conf: Config, output_dir: Path, args):
                     losses_np = retry_transient(
                         lambda: {k: float(v) for k, v in losses.items()}
                     )
-                    lr = float(schedule(total_iter))
+                    # the schedule is indexed by REAL optimizer updates:
+                    # total_iter counts micro-steps under grad_accumulation
+                    lr = float(
+                        schedule(
+                            total_iter
+                            // max(int(conf.train.grad_accumulation or 1), 1)
+                        )
+                    )
                     sps = n_samples / (time.time() - t_start + 1e-9)
                     logger.info(
                         "[E %d | it %d] loss {%s} lr %.2e %.1f samples/s",

@@ -359,3 +359,64 @@ def test_warp_points_np():
     H = np.array([[1.0, 0, 2.0], [0, 1.0, -1.0], [0, 0, 1.0]], np.float32)
     pts = np.array([[0, 0], [3, 4]], np.float32)
     np.testing.assert_allclose(_warp_points_np(pts, H), [[2, -1], [5, 3]])
+
+
+def test_cached_features_rescaled_with_upscaled_source(tmp_path, monkeypatch):
+    """An image smaller than source_size is upscaled before homography
+    sampling; cached features exported at NATIVE resolution must be scaled
+    into the upscaled frame before warping, or every keypoint lands at
+    1/scale of its true position (found by round-5 self-review)."""
+    import gluefactory_tpu.data.homographies as hmod
+
+    img_dir = tmp_path / "jpg"
+    img_dir.mkdir()
+    w, h = 80, 60  # native; source_size 160x120 -> upscale x2
+    img = (generate_synthetic_image(0, (w, h)) * 255).astype(np.uint8)
+    cv2.imwrite(str(img_dir / "a.png"), img[..., ::-1])
+    cache = tmp_path / "features.h5"
+    _write_feature_cache(cache, ["a.png"], (w, h), n_kpts=16)
+    ds = HomographyDataset(
+        {
+            "image_dir": str(img_dir),
+            "train_size": 1,
+            "val_size": 0,
+            "source_size": [160, 120],
+            "homography": {"patch_shape": [160, 120], "difficulty": 0.0, "translation": 0.0},
+            "photometric": {"name": "identity"},
+            "load_features": {
+                "do": True,
+                "path": str(cache),
+                "max_num_keypoints": 16,
+                "force_num_keypoints": True,
+            },
+        }
+    )
+    # the dataset stores full paths; the cache is keyed by that name
+    full = str(ds.images["train"][0])
+    with h5py.File(cache, "a") as f:
+        f[full] = f["a.png"]
+    item = ds.get_dataset("train")[0]
+    with h5py.File(cache, "r") as f:
+        native = np.asarray(f["a.png"]["keypoints"])
+    got = np.asarray(item["view0"]["cache"]["keypoints"])
+    # identity homography + x2 upscale: cached kpts must come back at 2x
+    np.testing.assert_allclose(
+        np.sort(got, axis=0), np.sort(native * 2.0, axis=0), atol=1e-4
+    )
+
+
+def test_image_list_relative_to_explicit_image_dir(tmp_path):
+    """A relative list file resolves NEXT TO an explicit image_dir, not
+    under DATA_PATH/data_dir (found by round-5 self-review)."""
+    img_dir = tmp_path / "imgs"
+    _write_images(img_dir, ["a.png", "b.png"])
+    (img_dir / "subset.txt").write_text("b.png\n")
+    ds = HomographyDataset(
+        {
+            "image_dir": str(img_dir),
+            "image_list": "subset.txt",
+            "train_size": 1,
+            "val_size": 0,
+        }
+    )
+    assert {p.name for p in ds.images["train"]} == {"b.png"}

@@ -247,3 +247,33 @@ def test_grad_accumulation_matches_big_batch():
     a = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(p_big)])
     b = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(p_acc)])
     np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
+
+
+def test_grad_accum_lr_schedule_counts_real_updates():
+    """With grad_accumulation, optax advances the schedule once per REAL
+    update, so epoch-based decays must be built in real-update units
+    (steps_per_epoch // accum) — else every decay runs accum-times too
+    slowly (found by round-5 self-review)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from gluefactory_tpu.core.config import Config as _Config
+    from gluefactory_tpu.train import build_optimizer, default_train_conf
+
+    class _Dummy:
+        components = []
+        conf = _Config({})
+
+    params = {"w": jnp.zeros((2,))}
+    conf = _Config(
+        dict(
+            default_train_conf,
+            lr=1.0,
+            grad_accumulation=4,
+            lr_schedule={"type": "factor", "on_epoch": [1], "factor": 0.1},
+        )
+    )
+    # a loader of 8 micro-batches/epoch = 2 REAL updates/epoch under accum 4
+    _, schedule = build_optimizer(conf, params, _Dummy(), 8)
+    assert float(schedule(1)) == 1.0  # real update 1 -> still data-epoch 0
+    assert float(schedule(2)) == _pytest.approx(0.1)  # 2 updates = epoch 1
