@@ -96,7 +96,7 @@ class _HomographyTorchDataset:
         if isinstance(name, int):  # synthetic
             return generate_synthetic_image(
                 name, tuple(self.conf.source_size)
-            ), 1.0
+            ), np.array([1.0, 1.0], np.float32)
         from .preprocess import read_image
 
         try:
@@ -109,10 +109,15 @@ class _HomographyTorchDataset:
         # into the upscaled frame the homographies are sampled on
         h, w = img.shape[:2]
         sw, sh = self.conf.source_size
-        scale = 1.0
+        scale = np.array([1.0, 1.0], np.float32)
         if w < sw or h < sh:
-            scale = max(sw / w, sh / h)
-            img = cv2.resize(img, (int(np.ceil(w * scale)), int(np.ceil(h * scale))))
+            s = max(sw / w, sh / h)
+            nw, nh = int(np.ceil(w * s)), int(np.ceil(h * s))
+            img = cv2.resize(img, (nw, nh))
+            # EFFECTIVE per-axis scale: the ceil'd target differs from w*s
+            # by up to a pixel, so scaling keypoints by s alone would leave
+            # a systematic sub-pixel offset near the far edge
+            scale = np.array([nw / w, nh / h], np.float32)
         return img, scale
 
     def _transform_features(self, features: dict, H: np.ndarray, patch_shape) -> dict:
@@ -217,7 +222,7 @@ class _HomographyTorchDataset:
             # native-resolution export into the (possibly upscaled) frame
             # the homographies are sampled on
             features = self.parent.feature_loader(
-                {"name": str(name), "scales": np.array([upscale, upscale], np.float32)}
+                {"name": str(name), "scales": upscale}
             )
         n_views = 3 if conf.triplet else 2
         # right_only (reference homographies.py:62,168-170,245-249): view0 is
@@ -350,10 +355,13 @@ class HomographyDataset(BaseDataset):
         names = [names[i] for i in perm]
         train_size = min(conf.train_size, max(len(names) - conf.val_size, 1))
         val_size = min(conf.val_size, len(names))
+        # val_size=0 means NO validation images — names[-0:] would be the
+        # whole corpus (train/val leakage + full-dataset evals)
+        val_names = names[-val_size:] if val_size > 0 else []
         self.images = {
             "train": names[:train_size],
-            "val": names[-val_size:],
-            "test": names[-val_size:],
+            "val": val_names,
+            "test": val_names,
         }
         # forward the FULL merged photometric sub-conf so the dataset-level
         # default p (0.75) overrides the augmentation's class default, and

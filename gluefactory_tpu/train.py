@@ -707,10 +707,12 @@ def training(conf: Config, output_dir: Path, args):
                         lambda: {k: float(v) for k, v in losses.items()}
                     )
                     # the schedule is indexed by REAL optimizer updates:
-                    # total_iter counts micro-steps under grad_accumulation
+                    # total_iter counts dispatches of k_steps micro-steps,
+                    # and grad_accumulation groups micro-steps into updates
                     lr = float(
                         schedule(
                             total_iter
+                            * k_steps
                             // max(int(conf.train.grad_accumulation or 1), 1)
                         )
                     )

@@ -361,13 +361,11 @@ def test_warp_points_np():
     np.testing.assert_allclose(_warp_points_np(pts, H), [[2, -1], [5, 3]])
 
 
-def test_cached_features_rescaled_with_upscaled_source(tmp_path, monkeypatch):
+def test_cached_features_rescaled_with_upscaled_source(tmp_path):
     """An image smaller than source_size is upscaled before homography
     sampling; cached features exported at NATIVE resolution must be scaled
     into the upscaled frame before warping, or every keypoint lands at
     1/scale of its true position (found by round-5 self-review)."""
-    import gluefactory_tpu.data.homographies as hmod
-
     img_dir = tmp_path / "jpg"
     img_dir.mkdir()
     w, h = 80, 60  # native; source_size 160x120 -> upscale x2
@@ -420,3 +418,13 @@ def test_image_list_relative_to_explicit_image_dir(tmp_path):
         }
     )
     assert {p.name for p in ds.images["train"]} == {"b.png"}
+
+
+def test_val_size_zero_means_no_val_images():
+    """val_size=0 must yield EMPTY val/test splits — names[-0:] would be
+    the whole corpus (train/val leakage, found by round-5 self-review)."""
+    ds = HomographyDataset(
+        {"synthetic_images": 4, "train_size": 4, "val_size": 0}
+    )
+    assert ds.images["val"] == [] and ds.images["test"] == []
+    assert len(ds.images["train"]) == 4
