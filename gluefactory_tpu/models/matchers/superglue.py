@@ -100,7 +100,14 @@ class SuperGlue(BaseModel):
         c = self.conf
         d = c.descriptor_dim
         self.kenc = MLP(tuple(list(c.keypoint_encoder) + [d]), name="kenc")
-        layer_cls = nn.remat(AttentionalPropagation) if c.checkpointed else AttentionalPropagation
+        # static_argnums: `train` (arg 5, after self) is a python bool that
+        # BatchNorm branches on — rematting it as a traced value breaks
+        # tracing (TracerBoolConversionError) for any train=True forward
+        layer_cls = (
+            nn.remat(AttentionalPropagation, static_argnums=(5,))
+            if c.checkpointed
+            else AttentionalPropagation
+        )
         self.gnn_layers = [
             layer_cls(d, c.num_heads, name=f"gnn_{i}") for i in range(2 * c.n_layers)
         ]

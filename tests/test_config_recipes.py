@@ -66,8 +66,12 @@ GLUESTICK_EXTRA = {
             "max_num_lines": 12,
             "min_length": 10,
         },
+        # NOTE: checkpointed deliberately NOT overridden — the shipped
+        # recipe default (True) must stay exercised (round-5: the remat
+        # path broke train=True and no test noticed because every test
+        # forced False)
         "matcher": {"n_layers": 2, "descriptor_dim": 64, "input_dim": 256,
-                    "num_heads": 2, "checkpointed": False},
+                    "num_heads": 2},
     }
 }
 

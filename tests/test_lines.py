@@ -341,3 +341,68 @@ def test_cluster_endpoints_dbscan_chain_and_scores():
     np.testing.assert_allclose(jscores[j], (0.3 + 0.6 + 0.9) / 3, atol=1e-5)
     # singleton junction score = its line's score
     np.testing.assert_allclose(jscores[assign[0, 1]], 0.3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_gluestick_checkpointed_trains():
+    """`checkpointed: True` (the SHIPPED gluestick recipe default) must
+    support train=True forwards + grads: nn.remat needs `train` static or
+    BatchNorm's python branch breaks tracing (round-5 self-review found the
+    recipe default had never been exercised — every test forced False)."""
+    from gluefactory_tpu.models import get_model
+
+    B, N, L, D = 1, 24, 6, 64
+    rng = np.random.default_rng(3)
+    gs = get_model("gluestick").from_conf(
+        {
+            "n_layers": 2,
+            "descriptor_dim": D,
+            "input_dim": D,
+            "num_heads": 2,
+            "checkpointed": True,
+        }
+    )
+    junc_idx = rng.integers(0, 12, (B, L, 2))
+    data = {
+        "keypoints0": jnp.asarray(rng.uniform(0, 256, (B, N, 2)), jnp.float32),
+        "keypoints1": jnp.asarray(rng.uniform(0, 256, (B, N, 2)), jnp.float32),
+        "descriptors0": jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32),
+        "descriptors1": jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32),
+        "keypoint_scores0": jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32),
+        "keypoint_scores1": jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32),
+        "lines0": jnp.asarray(rng.uniform(0, 256, (B, L, 2, 2)), jnp.float32),
+        "lines1": jnp.asarray(rng.uniform(0, 256, (B, L, 2, 2)), jnp.float32),
+        "lines_junc_idx0": jnp.asarray(junc_idx, jnp.int32),
+        "lines_junc_idx1": jnp.asarray(junc_idx, jnp.int32),
+        "line_scores0": jnp.asarray(rng.uniform(0, 1, (B, L)), jnp.float32),
+        "line_scores1": jnp.asarray(rng.uniform(0, 1, (B, L)), jnp.float32),
+        "keypoint_mask0": jnp.ones((B, N), bool),
+        "keypoint_mask1": jnp.ones((B, N), bool),
+        "line_mask0": jnp.ones((B, L), bool),
+        "line_mask1": jnp.ones((B, L), bool),
+        "view0": {"image_size": jnp.asarray([[256.0, 256.0]])},
+        "view1": {"image_size": jnp.asarray([[256.0, 256.0]])},
+        "gt_matches0": jnp.full((B, N), -1, jnp.int32),
+        "gt_matches1": jnp.full((B, N), -1, jnp.int32),
+        "gt_line_matches0": jnp.full((B, L), -1, jnp.int32),
+        "gt_line_matches1": jnp.full((B, L), -1, jnp.int32),
+        "gt_assignment": jnp.zeros((B, N, N), bool),
+        "gt_line_assignment": jnp.zeros((B, L, L), bool),
+    }
+    variables = gs.init({"params": jax.random.key(0)}, data, method="initialize")
+
+    def loss_fn(params):
+        pred = gs.apply(
+            {"params": params}, data, train=True, mutable=["batch_stats"]
+        )[0]
+        losses, _ = gs.apply(
+            {"params": params}, pred, data, train=True, method="loss"
+        )
+        return losses["total"].mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = float(
+        jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
+    )
+    assert np.isfinite(gnorm) and gnorm > 0

@@ -81,3 +81,61 @@ def test_superglue_overfits_synthetic():
     _, _, metrics = outs
     recall = float(np.asarray(metrics["match_recall"]).mean())
     assert recall > 0.3, recall
+
+
+@pytest.mark.slow
+def test_superglue_checkpointed_trains():
+    """SuperGlue's DEFAULT `checkpointed: True` must support train=True
+    forwards + grads (nn.remat with static `train`; round-5 self-review —
+    the default path was never exercised, every test forced False)."""
+    from gluefactory_tpu.models import get_model
+
+    B, N, D = 1, 24, 64
+    rng = np.random.default_rng(1)
+    sg = get_model("superglue").from_conf(
+        {
+            "descriptor_dim": D,
+            "keypoint_encoder": [16, 32],
+            "n_layers": 2,
+            "num_heads": 2,
+            "sinkhorn_iterations": 10,
+        }
+    )
+    assert sg.conf.checkpointed  # the point: the shipped default
+    data = {
+        "keypoints0": jnp.asarray(rng.uniform(0, 256, (B, N, 2)), jnp.float32),
+        "keypoints1": jnp.asarray(rng.uniform(0, 256, (B, N, 2)), jnp.float32),
+        "descriptors0": jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32),
+        "descriptors1": jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32),
+        "keypoint_scores0": jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32),
+        "keypoint_scores1": jnp.asarray(rng.uniform(0, 1, (B, N)), jnp.float32),
+        "view0": {"image_size": jnp.asarray([[256.0, 256.0]] * B)},
+        "view1": {"image_size": jnp.asarray([[256.0, 256.0]] * B)},
+        "gt_matches0": jnp.full((B, N), -1, jnp.int32),
+        "gt_matches1": jnp.full((B, N), -1, jnp.int32),
+        "gt_assignment": jnp.zeros((B, N, N), bool),
+    }
+    variables = sg.init({"params": jax.random.key(0)}, data, method="initialize")
+
+    def loss_fn(params):
+        pred, _ = sg.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            data,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        losses, _ = sg.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            pred,
+            data,
+            train=True,
+            method="loss",
+        )
+        return losses["total"].mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = float(
+        jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
