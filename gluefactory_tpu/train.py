@@ -182,7 +182,9 @@ def build_lr_schedule(conf, steps_per_epoch: int):
     base = conf.lr
 
     def schedule(step):
-        epoch = step / max(steps_per_epoch, 1)
+        # steps_per_epoch may be FRACTIONAL (real updates per epoch under
+        # grad_accumulation can be < 1 for tiny loaders)
+        epoch = step / max(steps_per_epoch, 1e-9)
         lr = jnp.asarray(base, jnp.float32)
         for sc in chain:
             lr = _apply_one_schedule(sc, conf, steps_per_epoch, step, epoch, lr)
@@ -195,9 +197,9 @@ def build_optimizer(conf, params, model, steps_per_epoch: int):
     accum = int(conf.get("grad_accumulation") or 1)
     # with gradient accumulation, optax advances the schedule once per REAL
     # update (optax.MultiSteps), i.e. steps_per_epoch/accum times per data
-    # epoch — build the schedule in that unit or epoch-based decays would
-    # run accum-times too slowly
-    schedule = build_lr_schedule(conf, max(1, steps_per_epoch // accum))
+    # epoch — build the schedule in that (possibly fractional) unit or
+    # epoch-based decays would run accum-times too slowly
+    schedule = build_lr_schedule(conf, steps_per_epoch / accum)
     opts = dict(conf.optimizer_options or {})
     if conf.optimizer == "adam":
         opt = optax.adam(schedule, **opts)
@@ -237,7 +239,11 @@ def build_optimizer(conf, params, model, steps_per_epoch: int):
     n_train = sum(jax.tree.leaves(jax.tree.map(lambda s: s == "train", labels)))
     n_total = len(jax.tree.leaves(labels))
     logger.info("Optimizer: %d/%d parameter tensors trainable", n_train, n_total)
-    return tx, schedule
+    # the returned schedule is for LOGGING and takes MICRO-step counts —
+    # the accum->real-update conversion lives here, in one place, mirroring
+    # how optax.MultiSteps advances the inner schedule
+    log_schedule = (lambda micro: schedule(micro // accum)) if accum > 1 else schedule
+    return tx, log_schedule
 
 
 # ---------------------------------------------------------------------------
@@ -706,16 +712,10 @@ def training(conf: Config, output_dir: Path, args):
                     losses_np = retry_transient(
                         lambda: {k: float(v) for k, v in losses.items()}
                     )
-                    # the schedule is indexed by REAL optimizer updates:
-                    # total_iter counts dispatches of k_steps micro-steps,
-                    # and grad_accumulation groups micro-steps into updates
-                    lr = float(
-                        schedule(
-                            total_iter
-                            * k_steps
-                            // max(int(conf.train.grad_accumulation or 1), 1)
-                        )
-                    )
+                    # the logging schedule takes MICRO-steps (it owns the
+                    # grad_accumulation conversion); total_iter counts
+                    # dispatches of k_steps micro-steps each
+                    lr = float(schedule(total_iter * k_steps))
                     sps = n_samples / (time.time() - t_start + 1e-9)
                     logger.info(
                         "[E %d | it %d] loss {%s} lr %.2e %.1f samples/s",

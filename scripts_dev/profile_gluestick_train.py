@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 K_STEPS = int(os.environ.get("GS_STEPS", "5"))
 N_KPTS = int(os.environ.get("GS_KPTS", "1000"))
 N_LINES = int(os.environ.get("GS_LINES", "250"))
+V5E_BF16_PEAK_FLOPS = 197e12  # keep in sync with bench.py / profile_matchers.py
 
 
 def run(B: int):
@@ -171,7 +172,7 @@ def run(B: int):
     }
     if flops:
         out["train_gflops_per_pair"] = round(flops / (K_STEPS * B) / 1e9, 1)
-        out["mfu"] = round(flops / dt / 197e12, 4)
+        out["mfu"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
     if mem is not None:
         out["xla_memory_gib"] = mem
     print(json.dumps(out), flush=True)

@@ -273,7 +273,13 @@ def test_grad_accum_lr_schedule_counts_real_updates():
             lr_schedule={"type": "factor", "on_epoch": [1], "factor": 0.1},
         )
     )
-    # a loader of 8 micro-batches/epoch = 2 REAL updates/epoch under accum 4
+    # a loader of 8 micro-batches/epoch = 2 REAL updates/epoch under accum 4;
+    # the returned (logging) schedule takes MICRO-step counts
     _, schedule = build_optimizer(conf, params, _Dummy(), 8)
-    assert float(schedule(1)) == 1.0  # real update 1 -> still data-epoch 0
-    assert float(schedule(2)) == _pytest.approx(0.1)  # 2 updates = epoch 1
+    assert float(schedule(7)) == 1.0  # 1 real update -> still data-epoch 0
+    assert float(schedule(8)) == _pytest.approx(0.1)  # 2 updates = epoch 1
+    # fractional real-updates/epoch: a 4-batch loader under accum 8 means
+    # 1 real update per 2 data epochs — the decay at epoch 1 must fire at
+    # the FIRST update, not (floor-truncated) the tenth
+    _, sched2 = build_optimizer(conf, params, _Dummy(), 4)
+    assert float(sched2(8)) == _pytest.approx(0.1)  # update 2 = data epoch 4
